@@ -1,0 +1,135 @@
+"""Signal + DNN conv parity tests.
+
+Mirrors /root/reference/src/ndmath/signal.c semantics (modes full/same/valid,
+boundaries fill/wrap/symm, convolve-vs-correlate flip) verified against a
+local scipy-equivalent direct convolution, and dnn.c conv forward/backward
+verified against direct computation.
+"""
+
+import numpy as np
+import pytest
+
+from numpower_tpu import ops
+
+
+def _direct_conv2d(a, k, mode, boundary="fill", fill_value=0.0):
+    """O(n^4) direct reference implementation of scipy.signal.convolve2d."""
+    kh, kw = k.shape
+    if mode == "full":
+        pt = pb = kh - 1
+        pl, pr = kw - 1, kw - 1
+    elif mode == "same":
+        pt, pb = kh // 2, (kh - 1) // 2
+        pl, pr = kw // 2, (kw - 1) // 2
+    else:
+        pt = pb = pl = pr = 0
+    if boundary == "fill":
+        ap = np.pad(a, ((pt, pb), (pl, pr)), constant_values=fill_value)
+    elif boundary == "wrap":
+        ap = np.pad(a, ((pt, pb), (pl, pr)), mode="wrap")
+    else:
+        ap = np.pad(a, ((pt, pb), (pl, pr)), mode="symmetric")
+    kf = k[::-1, ::-1]
+    oh, ow = ap.shape[0] - kh + 1, ap.shape[1] - kw + 1
+    out = np.zeros((oh, ow), a.dtype)
+    for i in range(oh):
+        for j in range(ow):
+            out[i, j] = (ap[i:i + kh, j:j + kw] * kf).sum()
+    return out
+
+
+RNG = np.random.default_rng(0)
+A = RNG.standard_normal((6, 7)).astype(np.float32)
+K = RNG.standard_normal((3, 3)).astype(np.float32)
+K_EVEN = RNG.standard_normal((2, 4)).astype(np.float32)
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+@pytest.mark.parametrize("boundary", ["fill", "wrap", "symm"])
+def test_convolve2d_modes_boundaries(mode, boundary):
+    got = np.asarray(ops.convolve2d(A, K, mode=mode, boundary=boundary))
+    expected = _direct_conv2d(A, K, mode, boundary)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_convolve2d_even_kernel(mode):
+    got = np.asarray(ops.convolve2d(A, K_EVEN, mode=mode))
+    expected = _direct_conv2d(A, K_EVEN, mode)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_convolve2d_fill_value():
+    got = np.asarray(ops.convolve2d(A, K, mode="full", boundary="fill", fill_value=2.0))
+    expected = _direct_conv2d(A, K, "full", "fill", 2.0)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_correlate2d_is_unflipped():
+    got = np.asarray(ops.correlate2d(A, K, mode="valid"))
+    expected = _direct_conv2d(A, K[::-1, ::-1], "valid")
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_convolve_valid_swaps_when_kernel_larger():
+    # signal.c:217-303: 'valid' mode swaps operands if kernel larger
+    small = A[:2, :2]
+    got = np.asarray(ops.convolve2d(small, A, mode="valid"))
+    expected = _direct_conv2d(A, small, "valid")
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_conv2d_forward_direct():
+    x = RNG.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    w = RNG.standard_normal((4, 3, 3, 3)).astype(np.float32)
+    out = np.asarray(ops.conv2d_forward(x, w, padding="VALID"))
+    assert out.shape == (2, 4, 6, 6)
+    # check one output element directly
+    expected00 = (x[0, :, 0:3, 0:3] * w[0]).sum()
+    np.testing.assert_allclose(out[0, 0, 0, 0], expected00, rtol=1e-4)
+
+
+def test_conv2d_forward_bias_same():
+    x = RNG.standard_normal((1, 2, 5, 5)).astype(np.float32)
+    w = RNG.standard_normal((3, 2, 3, 3)).astype(np.float32)
+    b = np.array([1.0, 2.0, 3.0], np.float32)
+    out = np.asarray(ops.conv2d_forward(x, w, bias=b, padding="SAME"))
+    assert out.shape == (1, 3, 5, 5)
+    out_nb = np.asarray(ops.conv2d_forward(x, w, padding="SAME"))
+    np.testing.assert_allclose(out - out_nb, np.broadcast_to(b.reshape(1, 3, 1, 1), out.shape), rtol=1e-5)
+
+
+def test_conv2d_backward_matches_numerical():
+    x = RNG.standard_normal((1, 1, 4, 4)).astype(np.float32)
+    w = RNG.standard_normal((1, 1, 3, 3)).astype(np.float32)
+    g = np.ones((1, 1, 4, 4), np.float32)
+    dx, dw = ops.conv2d_backward(x, w, g, padding="SAME")
+    # numerical check on dw[0,0,0,0]
+    eps = 1e-2
+    wp = w.copy(); wp[0, 0, 0, 0] += eps
+    wm = w.copy(); wm[0, 0, 0, 0] -= eps
+    fp = float(np.asarray(ops.conv2d_forward(x, wp, padding="SAME")).sum())
+    fm = float(np.asarray(ops.conv2d_forward(x, wm, padding="SAME")).sum())
+    np.testing.assert_allclose(np.asarray(dw)[0, 0, 0, 0], (fp - fm) / (2 * eps), rtol=1e-2)
+    assert np.asarray(dx).shape == x.shape
+
+
+def test_conv1d_groups_dilation():
+    x = RNG.standard_normal((1, 4, 16)).astype(np.float32)
+    w = RNG.standard_normal((4, 2, 3)).astype(np.float32)  # groups=2
+    out = np.asarray(ops.conv1d_forward(x, w, groups=2, padding="same"))
+    assert out.shape == (1, 4, 16)
+    out_d = np.asarray(ops.conv1d_forward(x, w, groups=2, padding="same", dilation=2))
+    assert out_d.shape == (1, 4, 16)
+    out_causal = np.asarray(ops.conv1d_forward(x, w, groups=2, padding="causal"))
+    assert out_causal.shape == (1, 4, 16)
+
+
+def test_convolve1d():
+    a = np.array([1.0, 2.0, 3.0], np.float32)
+    k = np.array([0.0, 1.0, 0.5], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ops.convolve1d(a, k)), np.convolve(a, k), rtol=1e-5
+    )
