@@ -17,5 +17,12 @@ backends), re-designed for JAX/XLA/Pallas:
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# The BASELINE parity bound (<=1e-4 vs the fp32 CPU reference) requires fp32
+# MXU accumulation; the platform default lowers matmuls/convs to bf16-class
+# precision. Hot kernels that want bf16 opt in explicitly per-call.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from numpower_tpu import ops  # noqa: F401
 from numpower_tpu.ndarray import NDArray, nd  # noqa: F401

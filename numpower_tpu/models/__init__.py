@@ -1,0 +1,22 @@
+"""Plants + MPC / trajectory-optimization solvers (BASELINE.json configs)."""
+
+from numpower_tpu.models.plants import (  # noqa: F401
+    LTIPlant, double_integrator, quadrotor12, cartpole_step, cartpole_params,
+    pendulum_step,
+)
+from numpower_tpu.models.rollout import (  # noqa: F401
+    rollout_lti, rollout_ltv, rollout_nonlinear, batched_rollout_lti,
+    linearize, linearize_finite_diff, linearize_trajectory, quadratic_cost,
+)
+from numpower_tpu.models.lqr import (  # noqa: F401
+    riccati_scan, riccati_associative, lqr_infinite_gain, lqr_solve,
+    lqr_solve_batched,
+)
+from numpower_tpu.models.condensed import (  # noqa: F401
+    CondensedQP, prediction_matrices, condense, gradient_offset,
+)
+from numpower_tpu.models.boxqp import (  # noqa: F401
+    BoxQPResult, solve_boxqp_pg, solve_boxqp_fista, solve_mpc_boxqp,
+)
+from numpower_tpu.models.ilqr import ILQRResult, ilqr_solve, ilqr_solve_batched  # noqa: F401
+from numpower_tpu.models.tube import TubeMPCResult, tube_mpc_solve  # noqa: F401

@@ -1,0 +1,107 @@
+"""Condensed QP formation for linear MPC.
+
+Eliminates states to produce a dense QP over the stacked control sequence
+U = [u_0; ...; u_{T-1}] (dimension T*m):
+
+    X = Sx x0 + Su U
+    J(U) = 1/2 U' H U + (g(x0))' U + const
+    H = Su' Qbar Su + Rbar          (shared across scenarios for LTI plants)
+    g(x0) = Su' Qbar (Sx x0 - Xref)
+
+The TPU-shaped insight (BASELINE north star): H is scenario-INDEPENDENT, so a
+4096-scenario solve is projected-gradient iterations whose core op is one
+(N, T*m) x (T*m, T*m) matmul — a large, static-shape MXU GEMM — instead of
+4096 tiny Riccati factorizations. For quadrotor T=30, m=4 the GEMM is
+(4096, 120) @ (120, 120): exactly the batched-big-matmul regime the MXU wants.
+
+The reference could only express this as thousands of eager nd::matmul calls
+(SURVEY.md §3.2-3.4); here formation and solve are each one jitted program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class CondensedQP(NamedTuple):
+    """Dense condensed QP data. H (Tm, Tm); Sx (Tn, n); Su (Tn, Tm);
+    SuTQ (Tm, Tn) caches Su' Qbar for fast g(x0) formation."""
+
+    H: jax.Array
+    Sx: jax.Array
+    Su: jax.Array
+    SuTQ: jax.Array
+    T: int
+    n: int
+    m: int
+    lipschitz: jax.Array  # largest eigenvalue of H (PG step size 1/L)
+
+
+def prediction_matrices(A, B, horizon: int):
+    """Sx = [A; A^2; ...; A^T], Su lower-block-triangular with blocks
+    A^{i-j-1} B. Built with a scan over powers (T matmuls, one compile)."""
+    n, m = A.shape[0], B.shape[1]
+    T = horizon
+
+    def power_step(Ak, _):
+        Ak_next = A @ Ak
+        return Ak_next, Ak
+
+    _, A_pows = lax.scan(power_step, jnp.eye(n, dtype=A.dtype), None, length=T + 1)
+    # A_pows[k] = A^k, k = 0..T
+    Sx = jnp.concatenate([A_pows[k] for k in range(1, T + 1)], axis=0)  # (T n, n)
+
+    # Su block (i, j) = A^{i-j-1} B for i > j else 0  (block row i = state x_{i+1})
+    AB = jax.vmap(lambda Ak: Ak @ B)(A_pows)  # AB[k] = A^k B
+    blocks = []
+    zeros = jnp.zeros((n, m), A.dtype)
+    for i in range(T):
+        row = [AB[i - j] if i >= j else zeros for j in range(T)]
+        blocks.append(jnp.concatenate(row, axis=1))
+    Su = jnp.concatenate(blocks, axis=0)  # (T n, T m)
+    return Sx, Su
+
+
+def _power_iteration_lmax(H, iters: int = 50):
+    """Largest eigenvalue of symmetric PSD H by power iteration (static
+    iteration count; runs once at formation time, inside jit)."""
+    v0 = jnp.ones((H.shape[0],), H.dtype) / jnp.sqrt(jnp.asarray(H.shape[0], H.dtype))
+
+    def step(v, _):
+        w = H @ v
+        return w / (jnp.linalg.norm(w) + 1e-30), None
+
+    v, _ = lax.scan(step, v0, None, length=iters)
+    return v @ (H @ v)
+
+
+def condense(A, B, Q, R, QF, horizon: int) -> CondensedQP:
+    """Form the condensed QP for an LTI plant with stage costs
+    sum_{t=1..T} x_t' Qt x_t + sum_t u_t' R u_t (Qt = Q for t<T, QF at T)."""
+    n, m = A.shape[0], B.shape[1]
+    T = horizon
+    Sx, Su = prediction_matrices(A, B, T)
+    # Qbar = blockdiag(Q, ..., Q, QF); apply blockwise without materializing.
+    Qbar = jax.scipy.linalg.block_diag(*([Q] * (T - 1) + [QF]))
+    Rbar = jax.scipy.linalg.block_diag(*([R] * T))
+    SuTQ = Su.T @ Qbar
+    H = SuTQ @ Su + Rbar
+    H = 0.5 * (H + H.T)
+    lmax = _power_iteration_lmax(H)
+    return CondensedQP(H=H, Sx=Sx, Su=Su, SuTQ=SuTQ, T=T, n=n, m=m, lipschitz=lmax)
+
+
+def gradient_offset(qp: CondensedQP, x0, x_ref: Optional[jax.Array] = None):
+    """g(x0) = Su' Qbar (Sx x0 - Xref); x0 (n,) or batched (N, n)."""
+    target = qp.Sx @ x0.T if x0.ndim == 2 else qp.Sx @ x0  # (Tn,) or (Tn, N)
+    if x_ref is not None:
+        xref_stack = (
+            jnp.tile(x_ref, qp.T) if x_ref.ndim == 1 else x_ref.reshape(-1)
+        )
+        target = (target.T - xref_stack).T if x0.ndim == 2 else target - xref_stack
+    g = qp.SuTQ @ target
+    return g.T if x0.ndim == 2 else g

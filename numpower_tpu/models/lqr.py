@@ -1,0 +1,175 @@
+"""Finite-horizon LQR via Riccati recursion.
+
+BASELINE configs #1 (double-integrator LQR) and #2 (batched 256-scenario LTI
+MPC Riccati). The reference exposes only the building blocks (matmul/
+cholesky/solve — tests/linalg) and the user loops in PHP; here the whole
+backward pass is one `lax.scan` inside a jitted program, with K_t computed by
+Cholesky solves of (R + B'P B) — the PSD hot path flagged in SURVEY.md §7.
+
+Two horizon engines:
+ - `riccati_scan`          sequential O(T) scan (default; T=30 is cheap)
+ - `riccati_associative`   parallel-in-time O(log T) depth via
+                           jax.lax.associative_scan on conditional-value-
+                           function elements (PAPERS.md "The Parallelization
+                           of Riccati Recursion"-style; the TPU analogue of
+                           sequence parallelism over the horizon axis)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _psd_solve(M, rhs):
+    """Solve M x = rhs with M symmetric PD via Cholesky (two triangular
+    solves) — maps to lax.linalg primitives on-device."""
+    L = jnp.linalg.cholesky(M)
+    return jax.scipy.linalg.cho_solve((L, True), rhs)
+
+
+def riccati_scan(A, B, Q, R, QF, horizon: int):
+    """Backward Riccati recursion.
+
+    Returns (Ks, Ps): Ks (T, m, n) feedback gains u_t = -K_t x_t;
+    Ps (T+1, n, n) cost-to-go Hessians with Ps[0] = P_0, Ps[T] = QF.
+    """
+
+    def step(P_next, _):
+        BtP = B.T @ P_next
+        K = _psd_solve(R + BtP @ B, BtP @ A)
+        AtP = A.T @ P_next
+        P = Q + AtP @ A - (BtP @ A).T @ K
+        P = 0.5 * (P + P.T)  # keep symmetric under fp32 accumulation
+        return P, (K, P)
+
+    P_final, (Ks_rev, Ps_rev) = lax.scan(step, QF, None, length=horizon)
+    Ks = jnp.flip(Ks_rev, axis=0)
+    Ps = jnp.concatenate([jnp.flip(Ps_rev, axis=0), QF[None]], axis=0)
+    return Ks, Ps
+
+
+class _RiccatiElement(NamedTuple):
+    """Conditional value-function element (F, C, J): the suffix Bellman map
+    P -> J + F' P (I + C P)^{-1} F, closed under composition."""
+
+    F: jax.Array
+    C: jax.Array
+    J: jax.Array
+
+
+def _combine(ei: _RiccatiElement, ej: _RiccatiElement) -> _RiccatiElement:
+    """Associative combine of element i (earlier stage) with element j
+    (later stage block). Parallel-LQR combine rule (regulation case of the
+    parallel LQT/dynamic-programming elements)."""
+    n = ei.F.shape[-1]
+    I = jnp.eye(n, dtype=ei.F.dtype)
+    # (I + C_i J_j)^{-1} applied from the left.
+    M = jnp.linalg.solve(I + ei.C @ ej.J, jnp.concatenate([ei.F, ei.C], axis=-1))
+    MF, MC = M[..., :n], M[..., n:]
+    F = ej.F @ MF
+    C = ej.F @ MC @ ej.F.swapaxes(-1, -2) + ej.C
+    # (I + J_j C_i)^{-1} J_j F_i  == J_j (I + C_i J_j)^{-1} F_i = J_j @ MF
+    J = ei.F.swapaxes(-1, -2) @ ej.J @ MF + ei.J
+    J = 0.5 * (J + J.swapaxes(-1, -2))
+    C = 0.5 * (C + C.swapaxes(-1, -2))
+    return _RiccatiElement(F, C, J)
+
+
+def riccati_associative(A, B, Q, R, QF, horizon: int):
+    """Parallel-in-time Riccati: O(log T) depth associative scan.
+
+    Produces the same (Ks, Ps) as riccati_scan (fp32 tolerance). Useful when
+    the horizon is long (T >= 128) or when horizon stages are sharded across
+    devices; for T~30 the sequential scan is typically faster.
+    """
+    n = A.shape[-1]
+    # Stage element: F=A, C=B R^{-1} B', J=Q. Terminal element: (0, 0, QF).
+    C_stage = B @ _psd_solve(R, B.T)
+    Fs = jnp.broadcast_to(A, (horizon, n, n))
+    Cs = jnp.broadcast_to(C_stage, (horizon, n, n))
+    Js = jnp.broadcast_to(Q, (horizon, n, n))
+    elems = _RiccatiElement(
+        jnp.concatenate([Fs, jnp.zeros((1, n, n), A.dtype)], axis=0),
+        jnp.concatenate([Cs, jnp.zeros((1, n, n), A.dtype)], axis=0),
+        jnp.concatenate([Js, QF[None]], axis=0),
+    )
+    # Reverse associative scan: suffix composition from each stage to T.
+    # Note: with reverse=True, lax.associative_scan calls fn(later, earlier)
+    # (empirically: r[0] = fn(fn(e[n-1], e[n-2]), ... e[0])), so the earlier
+    # element is the SECOND argument.
+    combined = lax.associative_scan(
+        lambda later, earlier: _combine(
+            _RiccatiElement(earlier[0], earlier[1], earlier[2]),
+            _RiccatiElement(later[0], later[1], later[2]),
+        ),
+        tuple(elems),
+        reverse=True,
+        axis=0,
+    )
+    Ps = combined[2]  # (T+1, n, n); Ps[t] = cost-to-go from stage t
+    P_next = Ps[1:]  # (T, n, n)
+
+    def gain(Pn):
+        BtP = B.T @ Pn
+        return _psd_solve(R + BtP @ B, BtP @ A)
+
+    Ks = jax.vmap(gain)(P_next)
+    return Ks, Ps
+
+
+def lqr_infinite_gain(A, B, Q, R, iters: int = 200):
+    """Infinite-horizon discrete LQR gain by Riccati fixed-point iteration
+    (static iteration count — compiler-friendly control flow)."""
+
+    def step(P, _):
+        BtP = B.T @ P
+        K = _psd_solve(R + BtP @ B, BtP @ A)
+        P_new = Q + A.T @ P @ (A - B @ K)
+        P_new = 0.5 * (P_new + P_new.T)
+        return P_new, None
+
+    P, _ = lax.scan(step, Q, None, length=iters)
+    BtP = B.T @ P
+    K = _psd_solve(R + BtP @ B, BtP @ A)
+    return K, P
+
+
+def lqr_solve(A, B, Q, R, QF, x0, horizon: int, parallel: bool = False):
+    """Full LQR solve: backward Riccati + forward rollout.
+
+    Returns (us, xs): optimal controls (T, m) and trajectory (T+1, n).
+    BASELINE config #1 is this on the double integrator at horizon 30.
+    """
+    riccati = riccati_associative if parallel else riccati_scan
+    Ks, _ = riccati(A, B, Q, R, QF, horizon)
+
+    def fwd(x, K):
+        u = -(K @ x)
+        x_next = A @ x + B @ u
+        return x_next, (u, x_next)
+
+    _, (us, xs) = lax.scan(fwd, x0, Ks)
+    return us, jnp.concatenate([x0[None], xs], axis=0)
+
+
+def lqr_solve_batched(A, B, Q, R, QF, x0s, horizon: int):
+    """BASELINE config #2: batched scenarios share one backward pass (K_t is
+    scenario-independent for LTI plants) — the backward Riccati runs ONCE and
+    the forward rollout vmaps over scenarios. This is the structural win over
+    per-scenario solves."""
+    Ks, _ = riccati_scan(A, B, Q, R, QF, horizon)
+
+    def fwd_one(x0):
+        def fwd(x, K):
+            u = -(K @ x)
+            x_next = A @ x + B @ u
+            return x_next, (u, x_next)
+
+        _, (us, xs) = lax.scan(fwd, x0, Ks)
+        return us, jnp.concatenate([x0[None], xs], axis=0)
+
+    return jax.vmap(fwd_one)(x0s)

@@ -1,0 +1,11 @@
+"""Mesh / sharding / multi-host scaling (SURVEY.md §2.5 TPU-native column)."""
+
+from numpower_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, data_sharding, model_sharding, replicated, shard_batch,
+)
+from numpower_tpu.parallel.sharding import (  # noqa: F401
+    solve_mpc_boxqp_dp, solve_mpc_boxqp_dp_tp, sweep_statistics_dp,
+)
+from numpower_tpu.parallel.distributed import (  # noqa: F401
+    initialize, is_multi_host, local_scenario_slice, scaling_report,
+)

@@ -1,0 +1,62 @@
+"""Multi-host runtime setup.
+
+The reference is strictly single-process (SURVEY.md §2.5: no comm lib of any
+kind). TPU-native equivalent: `jax.distributed.initialize` wires the
+multi-host XLA runtime; within a pod slice collectives ride ICI, across
+slices DCN. Solvers in numpower_tpu.parallel are written against a Mesh and
+work unchanged on 1 chip, 1 host, or N hosts — only the mesh construction
+differs (jax.devices() spans all hosts after initialize()).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the multi-host runtime (idempotent, env-var driven when
+    args are None — standard JAX cluster auto-detection on TPU pods)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # Single-process environment (no coordinator): run locally.
+        pass
+
+
+def is_multi_host() -> bool:
+    return jax.process_count() > 1
+
+
+def local_scenario_slice(n_total: int) -> slice:
+    """Which slice of a global scenario batch this process owns (for
+    host-local data loading feeding a data-axis-sharded array)."""
+    per = n_total // jax.process_count()
+    start = per * jax.process_index()
+    return slice(start, start + per)
+
+
+def scaling_report(solves_per_sec_1chip: float, solves_per_sec_now: float) -> dict:
+    """Scaling efficiency vs linear (BASELINE: >=85% at 2+ hosts)."""
+    n = jax.device_count()
+    ideal = solves_per_sec_1chip * n
+    eff = solves_per_sec_now / ideal if ideal > 0 else 0.0
+    return {
+        "devices": n,
+        "processes": jax.process_count(),
+        "solves_per_sec": solves_per_sec_now,
+        "ideal": ideal,
+        "efficiency": eff,
+    }

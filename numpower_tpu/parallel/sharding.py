@@ -1,0 +1,163 @@
+"""Sharded MPC solvers (shard_map + XLA collectives).
+
+SURVEY.md §2.5: the reference has NO distributed execution; this module is
+the from-scratch TPU-native equivalent:
+
+ - DP  (data axis)   : scenarios sharded; each device solves its shard of the
+                       batch with the replicated condensed H. Embarrassingly
+                       parallel; collectives only for sweep statistics
+                       (psum / pmax over the data axis).
+ - TP  (model axis)  : the condensed Hessian's columns sharded; each PG/FISTA
+                       iteration computes a partial product U_shard @ H_cols
+                       and `psum`s over the model axis — QP block reduction
+                       riding ICI (BASELINE config #5).
+ - SP  (horizon axis): riccati_associative in models/lqr.py parallelizes time
+                       within a device; horizon sharding across devices would
+                       use ppermute pipelining (documented, not yet needed at
+                       T=30).
+
+All solvers are shard_map'ped jitted programs: XLA sees the per-device
+program + explicit collectives and overlaps them with compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from numpower_tpu.models.boxqp import BoxQPResult
+from numpower_tpu.models.condensed import CondensedQP
+
+
+def solve_mpc_boxqp_dp(
+    qp: CondensedQP,
+    x0s: jax.Array,
+    u_lo: float,
+    u_hi: float,
+    mesh: Mesh,
+    iters: int = 40,
+) -> BoxQPResult:
+    """Data-parallel batched box-QP: scenarios over the `data` axis.
+
+    H/Sx/SuTQ replicated; x0s sharded on axis 0. Residual is a pmax over the
+    data axis so every device returns the global sweep residual.
+    """
+    data_ax = mesh.axis_names[0]
+    step = 1.0 / qp.lipschitz
+
+    def per_device(H, SuTQ, Sx, x0s_shard):
+        g = (SuTQ @ (Sx @ x0s_shard.T)).T  # (n_local, Tm)
+        U = jnp.zeros_like(g)
+        Y = U
+        t = jnp.asarray(1.0, g.dtype)
+
+        def body(carry, _):
+            U, Y, t = carry
+            grad = Y @ H.T + g
+            U_new = jnp.clip(Y - step * grad, u_lo, u_hi)
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            beta = (t - 1.0) / t_new
+            dU = U_new - U
+            uphill = jnp.sum(grad * dU, axis=-1, keepdims=True) > 0
+            Y_new = U_new + jnp.where(uphill, 0.0, beta) * dU
+            return (U_new, Y_new, t_new), None
+
+        (U, _, _), _ = jax.lax.scan(body, (U, Y, t), None, length=iters)
+        grad = U @ H.T + g
+        resid_local = jnp.max(jnp.abs(U - jnp.clip(U - step * grad, u_lo, u_hi)))
+        resid = jax.lax.pmax(resid_local, axis_name=data_ax)
+        return U, resid
+
+    mapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(data_ax)),
+        out_specs=(P(data_ax), P()),
+    )
+    U, resid = jax.jit(mapped)(qp.H, qp.SuTQ, qp.Sx, x0s)
+    return BoxQPResult(U=U, iterations=jnp.asarray(iters), residual=resid)
+
+
+def solve_mpc_boxqp_dp_tp(
+    qp: CondensedQP,
+    x0s: jax.Array,
+    u_lo: float,
+    u_hi: float,
+    mesh: Mesh,
+    iters: int = 40,
+) -> BoxQPResult:
+    """2-D sharded box-QP: scenarios over `data`, H column-blocks over
+    `model`. Each iteration:  partial = U_shard @ H_block' (local GEMM)
+    then grad = psum(partial, model) — the QP block reduction of BASELINE
+    config #5 expressed as an XLA collective over ICI.
+    """
+    data_ax, model_ax = mesh.axis_names
+    step = 1.0 / qp.lipschitz
+    d = qp.H.shape[0]
+
+    def per_device(H_cols, SuTQ, Sx, x0s_shard):
+        # H_cols: (d, d/model) column block; g computed fully then used
+        g = (SuTQ @ (Sx @ x0s_shard.T)).T          # (n_local, d) replicated over model
+        n_model = jax.lax.psum(1, axis_name=model_ax)
+        my_col = jax.lax.axis_index(model_ax)
+        cols = d // n_model
+
+        def grad_of(Y):
+            # local partial: Y's column slice times H column-block transposed
+            Y_cols = jax.lax.dynamic_slice_in_dim(Y, my_col * cols, cols, axis=1)
+            partial = Y_cols @ H_cols.T             # (n_local, d)
+            return jax.lax.psum(partial, axis_name=model_ax) + g
+
+        U = jnp.zeros_like(g)
+        Y = U
+        t = jnp.asarray(1.0, g.dtype)
+
+        def body(carry, _):
+            U, Y, t = carry
+            grad = grad_of(Y)
+            U_new = jnp.clip(Y - step * grad, u_lo, u_hi)
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            beta = (t - 1.0) / t_new
+            dU = U_new - U
+            uphill = jnp.sum(grad * dU, axis=-1, keepdims=True) > 0
+            Y_new = U_new + jnp.where(uphill, 0.0, beta) * dU
+            return (U_new, Y_new, t_new), None
+
+        (U, _, _), _ = jax.lax.scan(body, (U, Y, t), None, length=iters)
+        grad = grad_of(U)
+        resid_local = jnp.max(jnp.abs(U - jnp.clip(U - step * grad, u_lo, u_hi)))
+        resid = jax.lax.pmax(resid_local, axis_name=data_ax)
+        return U, resid
+
+    # H sharded by columns over model axis: spec (None, model)
+    mapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(None, model_ax), P(), P(), P(data_ax)),
+        out_specs=(P(data_ax), P()),
+    )
+    U, resid = jax.jit(mapped)(qp.H, qp.SuTQ, qp.Sx, x0s)
+    return BoxQPResult(U=U, iterations=jnp.asarray(iters), residual=resid)
+
+
+def sweep_statistics_dp(xs_scenarios: jax.Array, mesh: Mesh):
+    """Cross-scenario tube statistics with data-axis collectives:
+    returns (mean_traj, max_deviation) computed globally."""
+    data_ax = mesh.axis_names[0]
+
+    def per_device(xs_shard):
+        n_total = jax.lax.psum(xs_shard.shape[0], axis_name=data_ax)
+        mean = jax.lax.psum(jnp.sum(xs_shard, axis=0), axis_name=data_ax) / n_total
+        dev = jnp.max(jnp.linalg.norm(xs_shard - mean[None], axis=-1), axis=0)
+        max_dev = jax.lax.pmax(dev, axis_name=data_ax)
+        return mean, max_dev
+
+    mapped = shard_map(
+        per_device, mesh=mesh, in_specs=(P(data_ax),), out_specs=(P(), P())
+    )
+    return jax.jit(mapped)(xs_scenarios)

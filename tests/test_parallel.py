@@ -1,0 +1,84 @@
+"""Sharding / multi-device tests on the 8-device virtual CPU mesh
+(SURVEY.md §4: the reference has no distributed tests at all — this suite is
+the added coverage the TPU build requires)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from numpower_tpu.models import condense, quadrotor12, solve_mpc_boxqp
+from numpower_tpu.parallel import (
+    make_mesh, data_sharding, shard_batch, solve_mpc_boxqp_dp,
+    solve_mpc_boxqp_dp_tp, sweep_statistics_dp, scaling_report,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    A, B = quadrotor12(0.02)
+    Q = jnp.eye(12); R = jnp.eye(4) * 0.1; QF = jnp.eye(12) * 5.0
+    qp = condense(A, B, Q, R, QF, 8)  # T*m = 32, divisible by model axis
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(0.3 * rng.standard_normal((64, 12)).astype(np.float32))
+    return qp, x0s
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8  # conftest virtual CPU mesh
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh((8, 1))
+    assert mesh.devices.shape == (8, 1)
+    assert mesh.axis_names == ("data", "model")
+    mesh2 = make_mesh((4, 2))
+    assert mesh2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh((16, 2))
+
+
+def test_shard_batch_placement(setup):
+    _, x0s = setup
+    mesh = make_mesh((8, 1))
+    xs = shard_batch(x0s, mesh)
+    assert xs.sharding == data_sharding(mesh)
+    # each device holds 64/8 = 8 scenarios
+    shard_shapes = {s.data.shape for s in xs.addressable_shards}
+    assert shard_shapes == {(8, 12)}
+
+
+def test_dp_solver_matches_single_device(setup):
+    qp, x0s = setup
+    mesh = make_mesh((8, 1))
+    res_ref = solve_mpc_boxqp(qp, x0s, -1.0, 1.0, iters=50)
+    res_dp = solve_mpc_boxqp_dp(qp, shard_batch(x0s, mesh), -1.0, 1.0, mesh, iters=50)
+    np.testing.assert_allclose(
+        np.asarray(res_dp.U), np.asarray(res_ref.U), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_dp_tp_solver_matches_single_device(setup):
+    qp, x0s = setup
+    mesh = make_mesh((4, 2))  # 2-way model parallelism over H columns
+    res_ref = solve_mpc_boxqp(qp, x0s, -1.0, 1.0, iters=50)
+    res_tp = solve_mpc_boxqp_dp_tp(qp, x0s, -1.0, 1.0, mesh, iters=50)
+    np.testing.assert_allclose(
+        np.asarray(res_tp.U), np.asarray(res_ref.U), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sweep_statistics_collectives(setup):
+    mesh = make_mesh((8, 1))
+    rng = np.random.default_rng(1)
+    xs = jnp.asarray(rng.standard_normal((64, 9, 12)).astype(np.float32))
+    mean, max_dev = sweep_statistics_dp(shard_batch(xs, mesh), mesh)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(xs).mean(0), rtol=1e-4, atol=1e-5)
+    dev_ref = np.linalg.norm(np.asarray(xs) - np.asarray(xs).mean(0), axis=-1).max(0)
+    np.testing.assert_allclose(np.asarray(max_dev), dev_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_scaling_report():
+    rep = scaling_report(1000.0, 1000.0 * jax.device_count() * 0.9)
+    assert rep["devices"] == jax.device_count()
+    assert abs(rep["efficiency"] - 0.9) < 1e-9
