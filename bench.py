@@ -17,32 +17,111 @@ BASELINE config; `--quick` shrinks shapes for CPU smoke tests.
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import json
+import signal
 import sys
 import time
 
 import numpy as np
+
+# kill -USR1 <pid> dumps all thread stacks to stderr (hang diagnosis).
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 
 def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _time_fn(fn, *args, warmup: int = 2, reps: int = 10):
+def _readback(out):
+    """Force TRUE completion: fetch one scalar to the host. On the remote-TPU
+    relay, block_until_ready returns at dispatch (~0.1 ms) — only a host
+    readback observes real execution time."""
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf.ravel()[0])
+
+
+def _time_fn(fn, *args, warmup: int = 2, reps: int = 10, inner: tuple = (5, 55)):
+    """Slope-based pipelined timing.
+
+    Measures (inner[1] - inner[0]) extra back-to-back dispatches between two
+    readback-synced runs; the slope cancels the constant readback/tunnel RTT
+    (~28 ms through the relay) and yields per-call steady-state time. Returns
+    an array of per-call times (reps entries).
+    """
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _readback(fn(*args))
+    n1, n2 = inner
     times = []
     for _ in range(reps):
         t = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        out = None
+        for _ in range(n1):
+            out = fn(*args)
+        _readback(out)
+        t1 = time.perf_counter() - t
+        t = time.perf_counter()
+        for _ in range(n2):
+            out = fn(*args)
+        _readback(out)
+        t2 = time.perf_counter() - t
+        times.append(max((t2 - t1) / (n2 - n1), 1e-9))
+    return np.asarray(times)
+
+
+def _time_latency(fn, *args, warmup: int = 2, reps: int = 10):
+    """Single-call latency including result readback (through the relay this
+    includes ~28 ms tunnel RTT; on local TPU hardware it is the real
+    dispatch+compute+D2H latency)."""
+    for _ in range(warmup):
+        _readback(fn(*args))
+    times = []
+    for _ in range(reps):
+        t = time.perf_counter()
+        _readback(fn(*args))
         times.append(time.perf_counter() - t)
     return np.asarray(times)
 
 
+def _device_time_per_call(body_fn, args, K: int = 64, reps: int = 5):
+    """TRUE device seconds per body invocation: run K data-dependent body
+    iterations inside ONE jitted scan (single dispatch), subtract the no-op
+    scan baseline (pure host<->device RTT), divide by K. Immune to both the
+    relay's optimistic block_until_ready and its ~25 ms readback RTT."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def make_rep(fn):
+        @jax.jit
+        def rep(*a):
+            def body(acc, i):
+                return acc + fn(*a, i), None
+
+            acc, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.float32))
+            return acc
+
+        return rep
+
+    def run_min(rep):
+        float(jax.device_get(rep(*args)))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t = time.perf_counter()
+            float(jax.device_get(rep(*args)))
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    baseline = run_min(make_rep(lambda *a: a[-1]))
+    total = run_min(make_rep(body_fn))
+    return max((total - baseline) / K, 1e-9)
+
+
 def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
-    """Config #4: quadrotor 12-state, box-constrained QP via FISTA."""
+    """Config #4: quadrotor 12-state, box-constrained QP (Pallas fused FISTA
+    on TPU, XLA FISTA elsewhere; bf16 coarse + fp32 tail precision policy)."""
     import jax
     import jax.numpy as jnp
 
@@ -50,41 +129,42 @@ def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
 
     A, B = quadrotor12(0.02)
     n, m = 12, 4
-    Q = jnp.eye(n, dtype=jnp.float32)
-    R = jnp.eye(m, dtype=jnp.float32) * 0.1
-    QF = jnp.eye(n, dtype=jnp.float32) * 5.0
+    Q = np.eye(n, dtype=np.float32)
+    R = np.eye(m, dtype=np.float32) * 0.1
+    QF = np.eye(n, dtype=np.float32) * 5.0
 
     t0 = time.perf_counter()
-    qp = jax.jit(lambda: condense(A, B, Q, R, QF, horizon))()
+    qp = jax.jit(condense, static_argnums=5)(A, B, Q, R, QF, horizon)
     jax.block_until_ready(qp.H)
     _log(f"[flagship] condense formed in {time.perf_counter()-t0:.1f}s")
 
-    solve = jax.jit(lambda x0s: solve_mpc_boxqp(qp, x0s, -1.0, 1.0, iters=iters).U)
     x0s = jnp.asarray(
         0.3 * np.random.default_rng(0).standard_normal((scenarios, n)), jnp.float32
     )
 
-    t0 = time.perf_counter()
-    jax.block_until_ready(solve(x0s))
-    _log(f"[flagship] solve compiled in {time.perf_counter()-t0:.1f}s")
-    times = _time_fn(solve, x0s, reps=reps)
-    solves_per_sec = scenarios / times.mean()
-    p50 = float(np.percentile(times, 50) * 1e3)
-    p99 = float(np.percentile(times, 99) * 1e3)
+    # full solve (g formation + FISTA) per body call; i-dependent input
+    # defeats loop-invariant hoisting
+    def body(qp, x0s, i):
+        return solve_mpc_boxqp(qp, x0s + i * 1e-6, -1.0, 1.0, iters=iters).U[0, 0]
+
+    per_batch = _device_time_per_call(body, (qp, x0s), K=32 if scenarios <= 512 else 64,
+                                      reps=reps)
+    solves_per_sec = scenarios / per_batch
     _log(
         f"[flagship] quadrotor h={horizon} N={scenarios} iters={iters}: "
-        f"{solves_per_sec:,.0f} solves/s/chip | batch p50={p50:.2f} ms p99={p99:.2f} ms"
+        f"{per_batch*1e6:.1f} us/batch device time -> {solves_per_sec:,.0f} solves/s/chip"
     )
 
     # latency config: small batch for the 10 ms real-time budget
-    x0s_small = x0s[:256]
-    solve_small = jax.jit(lambda xs: solve_mpc_boxqp(qp, xs, -1.0, 1.0, iters=iters).U)
-    t_small = _time_fn(solve_small, x0s_small, reps=reps)
+    def body_small(qp, x0s, i):
+        return solve_mpc_boxqp(qp, x0s[:256] + i * 1e-6, -1.0, 1.0, iters=iters).U[0, 0]
+
+    per_small = _device_time_per_call(body_small, (qp, x0s), K=256, reps=reps)
     _log(
-        f"[latency]  256-scenario batch p50={np.percentile(t_small,50)*1e3:.2f} ms "
-        f"(budget 10 ms)"
+        f"[latency]  256-scenario batch device time ~{per_small*1e6:.1f} us "
+        f"(budget 10 ms; excludes host link RTT)"
     )
-    return solves_per_sec, p50
+    return solves_per_sec, per_batch * 1e3
 
 
 def bench_lqr(horizon: int, reps: int):
@@ -141,15 +221,15 @@ def bench_tube(scenarios: int, reps: int):
 
     A, B = quadrotor12(0.02)
     Q = jnp.eye(12); R = jnp.eye(4) * 0.1; QF = jnp.eye(12) * 5.0
-    qp = jax.jit(lambda: condense(A, B, Q, R, QF, 20))()
+    qp = jax.jit(condense, static_argnums=5)(A, B, Q, R, QF, 20)
     rng = np.random.default_rng(2)
     w = jnp.asarray(0.002 * rng.standard_normal((scenarios, 20, 12)), jnp.float32)
     x0 = jnp.asarray(0.2 * rng.standard_normal(12), jnp.float32)
 
     f = jax.jit(
-        lambda x0, w: tube_mpc_solve(qp, A, B, Q, R, x0, w, -1.0, 1.0).tube_radius
+        lambda qp, x0, w: tube_mpc_solve(qp, A, B, Q, R, x0, w, -1.0, 1.0).tube_radius
     )
-    t = _time_fn(f, x0, w, reps=reps)
+    t = _time_fn(f, qp, x0, w, reps=reps)
     _log(
         f"[config5] tube-MPC sweep N={scenarios}: p50={np.percentile(t,50)*1e3:.2f} ms "
         f"-> {scenarios/t.mean():,.0f} scenario-rollouts/s"

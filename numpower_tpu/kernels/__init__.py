@@ -1,0 +1,6 @@
+"""Pallas TPU kernels for hot paths (SURVEY.md §7: "replace hot paths with
+Pallas blocked kernels — the speed-of-light requirement")."""
+
+from numpower_tpu.kernels.boxqp_fista import (  # noqa: F401
+    fista_boxqp_pallas, solve_mpc_boxqp_pallas,
+)

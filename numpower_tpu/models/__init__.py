@@ -20,3 +20,4 @@ from numpower_tpu.models.boxqp import (  # noqa: F401
 )
 from numpower_tpu.models.ilqr import ILQRResult, ilqr_solve, ilqr_solve_batched  # noqa: F401
 from numpower_tpu.models.tube import TubeMPCResult, tube_mpc_solve  # noqa: F401
+from numpower_tpu.models.mpc import MPCController, MPCState  # noqa: F401

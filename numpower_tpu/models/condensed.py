@@ -20,25 +20,32 @@ The reference could only express this as thousands of eager nd::matmul calls
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 
-class CondensedQP(NamedTuple):
+@flax.struct.dataclass
+class CondensedQP:
     """Dense condensed QP data. H (Tm, Tm); Sx (Tn, n); Su (Tn, Tm);
-    SuTQ (Tm, Tn) caches Su' Qbar for fast g(x0) formation."""
+    SuTQ (Tm, Tn) caches Su' Qbar for fast g(x0) formation.
+
+    A pytree whose (T, n, m) dims are static aux data, so a CondensedQP can
+    be passed as a jit ARGUMENT. Closure-capturing it instead would embed the
+    device arrays as HLO constants, forcing device->host fetches at trace
+    time (observed to stall through the remote-TPU relay)."""
 
     H: jax.Array
     Sx: jax.Array
     Su: jax.Array
     SuTQ: jax.Array
-    T: int
-    n: int
-    m: int
     lipschitz: jax.Array  # largest eigenvalue of H (PG step size 1/L)
+    T: int = flax.struct.field(pytree_node=False)
+    n: int = flax.struct.field(pytree_node=False)
+    m: int = flax.struct.field(pytree_node=False)
 
 
 def prediction_matrices(A, B, horizon: int):
@@ -96,12 +103,20 @@ def condense(A, B, Q, R, QF, horizon: int) -> CondensedQP:
 
 
 def gradient_offset(qp: CondensedQP, x0, x_ref: Optional[jax.Array] = None):
-    """g(x0) = Su' Qbar (Sx x0 - Xref); x0 (n,) or batched (N, n)."""
-    target = qp.Sx @ x0.T if x0.ndim == 2 else qp.Sx @ x0  # (Tn,) or (Tn, N)
+    """g(x0) = Su' Qbar (Sx x0 - Xref); x0 (n,) or batched (N, n).
+
+    Batched path is transpose-free row-major: (x0s @ Sx') @ SuTQ' lowers to
+    two clean dot_generals with no materialized transposed intermediates
+    (the (SuTQ @ (Sx @ x0s.T)).T form cost an extra HBM pass per transpose).
+    """
+    if x0.ndim == 2:
+        target = x0 @ qp.Sx.T  # (N, Tn)
+        if x_ref is not None:
+            xref_stack = jnp.tile(x_ref, qp.T) if x_ref.ndim == 1 else x_ref.reshape(-1)
+            target = target - xref_stack
+        return target @ qp.SuTQ.T  # (N, Tm)
+    target = qp.Sx @ x0
     if x_ref is not None:
-        xref_stack = (
-            jnp.tile(x_ref, qp.T) if x_ref.ndim == 1 else x_ref.reshape(-1)
-        )
-        target = (target.T - xref_stack).T if x0.ndim == 2 else target - xref_stack
-    g = qp.SuTQ @ target
-    return g.T if x0.ndim == 2 else g
+        xref_stack = jnp.tile(x_ref, qp.T) if x_ref.ndim == 1 else x_ref.reshape(-1)
+        target = target - xref_stack
+    return qp.SuTQ @ target

@@ -1,0 +1,81 @@
+"""Receding-horizon MPC controller (production serving API).
+
+Ties the stack together the way a deployment uses it: one controller object
+holding a condensed QP, solving batches of scenarios every tick with warm
+starts (shift the previous control plan one stage), all state checkpointable
+(utils/checkpoint.py). The per-tick step is a single jitted program; the
+controller object only shuffles device arrays — no host math on the tick
+path (the 10 ms real-time budget, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from numpower_tpu.models.boxqp import solve_boxqp_fista
+from numpower_tpu.models.condensed import CondensedQP, condense, gradient_offset
+
+
+@flax.struct.dataclass
+class MPCState:
+    """Warm-start state carried between ticks (checkpointable pytree)."""
+
+    U_prev: jax.Array  # (N, T*m) previous optimal plans
+    tick: jax.Array    # scalar int32
+
+
+class MPCController:
+    """Batched box-constrained linear MPC with warm starting.
+
+    >>> ctrl = MPCController(A, B, Q, R, QF, horizon=30, u_lo=-1, u_hi=1)
+    >>> state = ctrl.init(n_scenarios=4096)
+    >>> u0, state = ctrl.step(state, x0s)   # (N, m) first-stage controls
+    """
+
+    def __init__(self, A, B, Q, R, QF, horizon: int, u_lo: float, u_hi: float,
+                 iters: int = 30, coarse_iters: Optional[int] = None,
+                 x_ref=None):
+        self.qp: CondensedQP = jax.jit(condense, static_argnums=5)(
+            A, B, Q, R, QF, horizon
+        )
+        self.u_lo, self.u_hi = float(u_lo), float(u_hi)
+        self.iters = int(iters)
+        self.coarse_iters = (
+            max(0, self.iters - 12) if coarse_iters is None else int(coarse_iters)
+        )
+        self.x_ref = x_ref
+        self._step = jax.jit(self._step_impl)
+
+    def init(self, n_scenarios: int) -> MPCState:
+        d = self.qp.T * self.qp.m
+        return MPCState(
+            U_prev=jnp.zeros((n_scenarios, d), jnp.float32),
+            tick=jnp.asarray(0, jnp.int32),
+        )
+
+    def _step_impl(self, qp: CondensedQP, state: MPCState, x0s: jax.Array):
+        T, m = qp.T, qp.m
+        # warm start: shift previous plan one stage, hold last input
+        U_shift = jnp.concatenate(
+            [state.U_prev[:, m:], state.U_prev[:, -m:]], axis=1
+        )
+        g = gradient_offset(qp, x0s, self.x_ref)
+        res = solve_boxqp_fista(
+            qp.H, g, self.u_lo, self.u_hi, L=qp.lipschitz,
+            iters=self.iters, U0=U_shift, coarse_iters=self.coarse_iters,
+        )
+        u0 = res.U[:, :m]
+        return u0, MPCState(U_prev=res.U, tick=state.tick + 1), res.residual
+
+    def step(self, state: MPCState, x0s: jax.Array):
+        """One tick: returns ((N, m) first-stage controls, new state)."""
+        u0, new_state, _ = self._step(self.qp, state, x0s)
+        return u0, new_state
+
+    def step_with_residual(self, state: MPCState, x0s: jax.Array):
+        return self._step(self.qp, state, x0s)

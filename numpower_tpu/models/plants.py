@@ -25,9 +25,14 @@ import jax.numpy as jnp
 
 
 class LTIPlant(NamedTuple):
-    """Discrete-time x_{t+1} = A x_t + B u_t."""
+    """Discrete-time x_{t+1} = A x_t + B u_t.
 
-    A: jax.Array  # (n, n)
+    A/B are HOST numpy arrays by construction: when closure-captured by a
+    jitted solver they lower as embedded HLO constants with no device->host
+    fetch (a device-array constant would stall tracing through the remote
+    relay); when passed as jit arguments they transfer once like any input."""
+
+    A: jax.Array  # (n, n) — numpy on construction, accepted anywhere jax is
     B: jax.Array  # (n, m)
 
     @property
@@ -43,9 +48,15 @@ class LTIPlant(NamedTuple):
 
 
 def double_integrator(dt: float = 0.1) -> LTIPlant:
-    """BASELINE config #1: 1-D double integrator (pos, vel) with force input."""
-    A = jnp.array([[1.0, dt], [0.0, 1.0]], jnp.float32)
-    B = jnp.array([[0.5 * dt * dt], [dt]], jnp.float32)
+    """BASELINE config #1: 1-D double integrator (pos, vel) with force input.
+
+    Matrices are assembled in host numpy so they lower as embedded HLO
+    constants — eager device scatter chains would both dispatch per-element
+    and force device->host fetches at trace time."""
+    import numpy as np
+
+    A = np.array([[1.0, dt], [0.0, 1.0]], np.float32)
+    B = np.array([[0.5 * dt * dt], [dt]], np.float32)
     return LTIPlant(A, B)
 
 
@@ -57,19 +68,22 @@ def quadrotor12(dt: float = 0.02) -> LTIPlant:
     Standard hover linearization: horizontal accelerations couple to roll/
     pitch via gravity tilt; yaw decoupled; altitude couples to thrust.
     """
+    import numpy as np
+
     g = 9.81
     n, m = 12, 4
-    A = jnp.eye(n, dtype=jnp.float32)
+    A = np.eye(n, dtype=np.float32)
     # pos += vel*dt
-    A = A.at[0, 3].set(dt).at[1, 4].set(dt).at[2, 5].set(dt)
+    A[0, 3] = A[1, 4] = A[2, 5] = dt
     # horizontal vel += g*tilt*dt  (x couples to pitch(7), y to -roll(6))
-    A = A.at[3, 7].set(g * dt).at[4, 6].set(-g * dt)
+    A[3, 7] = g * dt
+    A[4, 6] = -g * dt
     # attitude += rate*dt
-    A = A.at[6, 9].set(dt).at[7, 10].set(dt).at[8, 11].set(dt)
-    B = jnp.zeros((n, m), jnp.float32)
+    A[6, 9] = A[7, 10] = A[8, 11] = dt
+    B = np.zeros((n, m), np.float32)
     # thrust -> vertical acceleration; torques -> angular accelerations
-    B = B.at[5, 0].set(dt)
-    B = B.at[9, 1].set(dt).at[10, 2].set(dt).at[11, 3].set(dt)
+    B[5, 0] = dt
+    B[9, 1] = B[10, 2] = B[11, 3] = dt
     return LTIPlant(A, B)
 
 

@@ -1,0 +1,52 @@
+"""Pallas kernel parity tests (interpret mode on CPU; compiled path covered
+by bench runs on real TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from numpower_tpu.kernels.boxqp_fista import fista_boxqp_pallas
+from numpower_tpu.models import condense, quadrotor12, solve_boxqp_fista, gradient_offset
+
+
+@pytest.fixture(scope="module")
+def qp_and_g():
+    A, B = quadrotor12(0.02)
+    Q = jnp.eye(12); R = jnp.eye(4) * 0.1; QF = jnp.eye(12) * 5.0
+    qp = condense(A, B, Q, R, QF, 10)  # d = 40
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(0.3 * rng.standard_normal((24, 12)).astype(np.float32))
+    g = gradient_offset(qp, x0s)
+    return qp, g
+
+
+def test_fista_kernel_matches_xla(qp_and_g):
+    qp, g = qp_and_g
+    ref = solve_boxqp_fista(qp.H, g, -0.5, 0.5, L=qp.lipschitz, iters=60)
+    U = fista_boxqp_pallas(
+        qp.H, g, jnp.float32(-0.5), jnp.float32(0.5), qp.lipschitz,
+        iters=60, tile_n=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(U), np.asarray(ref.U), rtol=1e-4, atol=1e-5)
+
+
+def test_fista_kernel_ragged_batch(qp_and_g):
+    # N=24 with tile 16 -> padding path exercised
+    qp, g = qp_and_g
+    U = fista_boxqp_pallas(
+        qp.H, g, jnp.float32(-0.5), jnp.float32(0.5), qp.lipschitz,
+        iters=30, tile_n=16, interpret=True,
+    )
+    assert U.shape == g.shape
+    assert float(jnp.max(jnp.abs(U))) <= 0.5 + 1e-6
+
+
+def test_fista_kernel_unconstrained_parity(qp_and_g):
+    qp, g = qp_and_g
+    U = fista_boxqp_pallas(
+        qp.H, g, jnp.float32(-1e6), jnp.float32(1e6), qp.lipschitz,
+        iters=400, tile_n=16, interpret=True,
+    )
+    U_ref = -np.linalg.solve(np.asarray(qp.H, np.float64), np.asarray(g, np.float64).T).T
+    np.testing.assert_allclose(np.asarray(U), U_ref, rtol=2e-3, atol=1e-3)
