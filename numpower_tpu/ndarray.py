@@ -314,10 +314,26 @@ class NDArray:
         self._value = self._value.at[idx].set(ops.asarray(_unwrap(value)))
 
     def __iter__(self):
-        """PHP Iterator protocol (rewind/valid/current/next/key,
-        iterators.c:39-76): iterate first axis producing sub-arrays."""
+        """Pythonic iteration over the first axis (sub-arrays)."""
         for i in range(self.count()):
             yield _wrap(self._value[i])
+
+    # Explicit PHP Iterator protocol (reference iterators.c:39-76 /
+    # numpower.c method table: rewind/valid/current/next/key) for API parity.
+    def rewind(self) -> None:
+        self._iter_pos = 0
+
+    def valid(self) -> bool:
+        return 0 <= self._iter_pos < self.count()
+
+    def key(self) -> int:
+        return self._iter_pos
+
+    def current(self):
+        return _wrap(self._value[self._iter_pos])
+
+    def next(self) -> None:  # noqa: A003 - PHP protocol name
+        self._iter_pos += 1
 
     def __contains__(self, item):
         return bool(jnp.any(self._value == ops.asarray(_unwrap(item))))

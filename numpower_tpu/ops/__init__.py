@@ -41,4 +41,5 @@ from numpower_tpu.ops.signal import convolve2d, correlate2d, convolve1d  # noqa:
 from numpower_tpu.ops.dnn import conv1d_forward, conv2d_forward, conv2d_backward  # noqa: F401
 from numpower_tpu.ops.io import save, load, serialize, deserialize, to_list  # noqa: F401
 from numpower_tpu.ops.image import from_image, to_image  # noqa: F401
+from numpower_tpu.ops.dtypes import resolve_dtype, get_type_size, is_type  # noqa: F401
 from numpower_tpu.ops import random  # noqa: F401

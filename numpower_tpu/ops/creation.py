@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from numpower_tpu.ops.dtypes import resolve_dtype
 from numpower_tpu.utils.config import default_dtype
 
 Shape = Union[int, Sequence[int]]
@@ -44,7 +45,7 @@ def asarray(obj: Any, dtype=None) -> jax.Array:
         ):
             return jnp.asarray(obj)
         return jnp.asarray(obj, dtype=default_dtype())
-    return jnp.asarray(obj, dtype=dtype)
+    return jnp.asarray(obj, dtype=resolve_dtype(dtype))
 
 
 def array(obj: Any, dtype=None) -> jax.Array:
@@ -54,23 +55,23 @@ def array(obj: Any, dtype=None) -> jax.Array:
 
 def zeros(shape: Shape, dtype=None) -> jax.Array:
     """nd::zeros — reference NDArray_Zeros (initializers.c:420)."""
-    return jnp.zeros(_normalize_shape(shape), dtype or default_dtype())
+    return jnp.zeros(_normalize_shape(shape), resolve_dtype(dtype) or default_dtype())
 
 
 def ones(shape: Shape, dtype=None) -> jax.Array:
     """nd::ones — reference NDArray_Ones (initializers.c:447)."""
-    return jnp.ones(_normalize_shape(shape), dtype or default_dtype())
+    return jnp.ones(_normalize_shape(shape), resolve_dtype(dtype) or default_dtype())
 
 
 def full(shape: Shape, fill_value, dtype=None) -> jax.Array:
     """nd::full — reference binding numpower.c full()."""
-    return jnp.full(_normalize_shape(shape), fill_value, dtype or default_dtype())
+    return jnp.full(_normalize_shape(shape), fill_value, resolve_dtype(dtype) or default_dtype())
 
 
 def empty(shape: Shape, dtype=None) -> jax.Array:
     """Reference NDArray_Empty (initializers.c:380). XLA has no uninitialized
     alloc; zeros compiles to a fused broadcast and is equally cheap."""
-    return jnp.zeros(_normalize_shape(shape), dtype or default_dtype())
+    return jnp.zeros(_normalize_shape(shape), resolve_dtype(dtype) or default_dtype())
 
 
 def empty_like(a, dtype=None) -> jax.Array:
@@ -91,11 +92,11 @@ def ones_like(a, dtype=None) -> jax.Array:
 
 def identity(n: int, dtype=None) -> jax.Array:
     """nd::identity — reference NDArray_Identity (initializers.c:466)."""
-    return jnp.eye(int(n), dtype=dtype or default_dtype())
+    return jnp.eye(int(n), dtype=resolve_dtype(dtype) or default_dtype())
 
 
 def eye(n: int, m: Optional[int] = None, k: int = 0, dtype=None) -> jax.Array:
-    return jnp.eye(int(n), m if m is None else int(m), k=k, dtype=dtype or default_dtype())
+    return jnp.eye(int(n), m if m is None else int(m), k=k, dtype=resolve_dtype(dtype) or default_dtype())
 
 
 def arange(start, stop=None, step=1, dtype=None) -> jax.Array:
@@ -106,11 +107,11 @@ def arange(start, stop=None, step=1, dtype=None) -> jax.Array:
     """
     if stop is None:
         start, stop = 0, start
-    return jnp.arange(start, stop, step, dtype=dtype or default_dtype())
+    return jnp.arange(start, stop, step, dtype=resolve_dtype(dtype) or default_dtype())
 
 
 def linspace(start, stop, num: int = 50, endpoint: bool = True, dtype=None) -> jax.Array:
-    return jnp.linspace(start, stop, num, endpoint=endpoint, dtype=dtype or default_dtype())
+    return jnp.linspace(start, stop, num, endpoint=endpoint, dtype=resolve_dtype(dtype) or default_dtype())
 
 
 def diag(v, k: int = 0) -> jax.Array:
@@ -139,4 +140,4 @@ def copy(a) -> jax.Array:
 
 
 def tri(n: int, m: Optional[int] = None, k: int = 0, dtype=None) -> jax.Array:
-    return jnp.tri(int(n), m if m is None else int(m), k=k, dtype=dtype or default_dtype())
+    return jnp.tri(int(n), m if m is None else int(m), k=k, dtype=resolve_dtype(dtype) or default_dtype())

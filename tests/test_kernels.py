@@ -50,3 +50,48 @@ def test_fista_kernel_unconstrained_parity(qp_and_g):
     )
     U_ref = -np.linalg.solve(np.asarray(qp.H, np.float64), np.asarray(g, np.float64).T).T
     np.testing.assert_allclose(np.asarray(U), U_ref, rtol=2e-3, atol=1e-3)
+
+
+def test_cholesky_batched_matches_jnp():
+    from numpower_tpu.kernels.cholesky import cholesky_batched
+
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((40, 12, 12)).astype(np.float32)
+    spd = jnp.asarray(a @ a.transpose(0, 2, 1) + 8 * np.eye(12, dtype=np.float32))
+    L = cholesky_batched(spd, tile_b=128, interpret=True)
+    L_ref = jnp.linalg.cholesky(spd)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref), rtol=1e-4, atol=1e-4)
+    # strictly upper triangle is exactly zero
+    assert float(jnp.max(jnp.abs(jnp.triu(L, 1)))) == 0.0
+
+
+def test_psd_solve_batched_matches_jnp():
+    from numpower_tpu.kernels.cholesky import psd_solve_batched
+
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal((24, 8, 8)).astype(np.float32)
+    spd = jnp.asarray(a @ a.transpose(0, 2, 1) + 6 * np.eye(8, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal((24, 8, 5)).astype(np.float32))
+    X = psd_solve_batched(spd, b, tile_b=128, interpret=True)
+    X_ref = jnp.linalg.solve(spd, b)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X_ref), rtol=2e-3, atol=2e-4)
+    # residual check
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("nij,njk->nik", spd, X)), np.asarray(b),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_psd_solve_batched_riccati_shapes():
+    # the Riccati inner-op shape: n=4 controls, m=12 states
+    from numpower_tpu.kernels.cholesky import psd_solve_batched
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((17, 4, 4)).astype(np.float32)  # ragged batch
+    spd = jnp.asarray(a @ a.transpose(0, 2, 1) + 3 * np.eye(4, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal((17, 4, 12)).astype(np.float32))
+    X = psd_solve_batched(spd, b, tile_b=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("nij,njk->nik", spd, X)), np.asarray(b),
+        rtol=2e-3, atol=2e-3,
+    )
