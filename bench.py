@@ -176,18 +176,25 @@ def bench_lqr(horizon: int, reps: int):
     from numpower_tpu.models import double_integrator, lqr_solve, lqr_solve_batched
 
     A, B = double_integrator(0.1)
-    Q = jnp.eye(2); R = jnp.eye(1) * 0.1; QF = jnp.eye(2) * 100.0
+    Q = np.eye(2, dtype=np.float32)
+    R = np.eye(1, dtype=np.float32) * 0.1
+    QF = np.eye(2, dtype=np.float32) * 100.0
 
-    f1 = jax.jit(lambda x0: lqr_solve(A, B, Q, R, QF, x0, horizon)[0])
-    t1 = _time_fn(f1, jnp.array([1.0, 0.0]), reps=reps)
-    _log(f"[config1] double-integrator LQR h={horizon}: p50={np.percentile(t1,50)*1e3:.3f} ms/solve")
+    x0 = jnp.array([1.0, 0.0])
+    t1 = _device_time_per_call(
+        lambda x0, i: lqr_solve(A, B, Q, R, QF, x0 + i * 1e-6, horizon)[0][0, 0],
+        (x0,), K=64, reps=reps,
+    )
+    _log(f"[config1] double-integrator LQR h={horizon}: {t1*1e6:.1f} us/solve device")
 
     x0s = jnp.asarray(np.random.default_rng(1).standard_normal((256, 2)), jnp.float32)
-    f2 = jax.jit(lambda xs: lqr_solve_batched(A, B, Q, R, QF, xs, horizon)[0])
-    t2 = _time_fn(f2, x0s, reps=reps)
+    t2 = _device_time_per_call(
+        lambda xs, i: lqr_solve_batched(A, B, Q, R, QF, xs + i * 1e-6, horizon)[0][0, 0, 0],
+        (x0s,), K=64, reps=reps,
+    )
     _log(
         f"[config2] 256-scenario LTI Riccati h={horizon}: "
-        f"p50={np.percentile(t2,50)*1e3:.3f} ms -> {256/t2.mean():,.0f} solves/s"
+        f"{t2*1e6:.1f} us/batch -> {256/t2:,.0f} solves/s"
     )
 
 
@@ -203,13 +210,35 @@ def bench_ilqr(reps: int):
     QF = jnp.diag(jnp.array([10.0, 100.0, 1.0, 1.0]))
     x_goal = jnp.zeros(4)
 
-    f = jax.jit(
-        lambda x0: ilqr_solve(
-            cartpole_step, x0, Q, R, QF, x_goal, horizon=50, iters=10, use_fd=True
-        ).cost
+    x0 = jnp.array([0.0, 0.5, 0.0, 0.0])
+    t = _device_time_per_call(
+        lambda x0, i: ilqr_solve(
+            cartpole_step, x0 + i * 1e-6, Q, R, QF, x_goal,
+            horizon=50, iters=10, use_fd=True,
+        ).cost,
+        (x0,), K=8, reps=max(2, reps // 2),
     )
-    t = _time_fn(f, jnp.array([0.0, 0.5, 0.0, 0.0]), reps=max(3, reps // 2))
-    _log(f"[config3] cartpole iLQR (fd, 10 iters, h=50): p50={np.percentile(t,50)*1e3:.2f} ms/solve")
+    _log(f"[config3] cartpole iLQR (fd, 10 iters, h=50): {t*1e3:.2f} ms/solve device")
+
+    # batched scenarios (the TPU-native way to run config #3 at scale)
+    x0s = jnp.asarray(
+        np.random.default_rng(3).standard_normal((256, 4)) * 0.3, jnp.float32
+    )
+    from numpower_tpu.models import ilqr_solve_batched
+
+    t = _device_time_per_call(
+        lambda xs, i: jnp.sum(
+            ilqr_solve_batched(
+                cartpole_step, xs + i * 1e-6, Q, R, QF, x_goal,
+                horizon=50, iters=10, use_fd=True,
+            ).cost
+        ),
+        (x0s,), K=4, reps=2,
+    )
+    _log(
+        f"[config3b] 256-scenario batched iLQR: {t*1e3:.2f} ms/batch "
+        f"-> {256/t:,.0f} iLQR solves/s"
+    )
 
 
 def bench_tube(scenarios: int, reps: int):
@@ -220,19 +249,23 @@ def bench_tube(scenarios: int, reps: int):
     from numpower_tpu.models import condense, quadrotor12, tube_mpc_solve
 
     A, B = quadrotor12(0.02)
-    Q = jnp.eye(12); R = jnp.eye(4) * 0.1; QF = jnp.eye(12) * 5.0
+    Q = np.eye(12, dtype=np.float32)
+    R = np.eye(4, dtype=np.float32) * 0.1
+    QF = np.eye(12, dtype=np.float32) * 5.0
     qp = jax.jit(condense, static_argnums=5)(A, B, Q, R, QF, 20)
     rng = np.random.default_rng(2)
     w = jnp.asarray(0.002 * rng.standard_normal((scenarios, 20, 12)), jnp.float32)
     x0 = jnp.asarray(0.2 * rng.standard_normal(12), jnp.float32)
 
-    f = jax.jit(
-        lambda qp, x0, w: tube_mpc_solve(qp, A, B, Q, R, x0, w, -1.0, 1.0).tube_radius
+    t = _device_time_per_call(
+        lambda qp, x0, w, i: tube_mpc_solve(
+            qp, A, B, Q, R, x0 + i * 1e-6, w, -1.0, 1.0
+        ).tube_radius[0],
+        (qp, x0, w), K=16, reps=reps,
     )
-    t = _time_fn(f, qp, x0, w, reps=reps)
     _log(
-        f"[config5] tube-MPC sweep N={scenarios}: p50={np.percentile(t,50)*1e3:.2f} ms "
-        f"-> {scenarios/t.mean():,.0f} scenario-rollouts/s"
+        f"[config5] tube-MPC sweep N={scenarios}: {t*1e3:.3f} ms/sweep device "
+        f"-> {scenarios/t:,.0f} scenario-rollouts/s"
     )
 
 

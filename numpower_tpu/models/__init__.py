@@ -9,8 +9,8 @@ from numpower_tpu.models.rollout import (  # noqa: F401
     linearize, linearize_finite_diff, linearize_trajectory, quadratic_cost,
 )
 from numpower_tpu.models.lqr import (  # noqa: F401
-    riccati_scan, riccati_associative, lqr_infinite_gain, lqr_solve,
-    lqr_solve_batched,
+    riccati_scan, riccati_associative, riccati_scan_per_scenario,
+    lqr_infinite_gain, lqr_solve, lqr_solve_batched,
 )
 from numpower_tpu.models.condensed import (  # noqa: F401
     CondensedQP, prediction_matrices, condense, gradient_offset,

@@ -16,7 +16,10 @@ import subprocess
 import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "src", "ndruntime.cpp")
+_SRCS = [
+    os.path.join(_HERE, "src", "ndruntime.cpp"),
+    os.path.join(_HERE, "src", "scenario_stream.cpp"),
+]
 _LIB = os.path.join(_HERE, "libndruntime.so")
 
 _lib = None
@@ -25,13 +28,15 @@ _build_lock = threading.Lock()
 
 def _build() -> bool:
     with _build_lock:
-        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        if os.path.exists(_LIB) and all(
+            os.path.getmtime(_LIB) >= os.path.getmtime(s) for s in _SRCS
+        ):
             return True
         try:
             subprocess.run(
                 ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
-                 "-o", _LIB, _SRC],
-                check=True, capture_output=True, timeout=120,
+                 "-o", _LIB, *_SRCS],
+                check=True, capture_output=True, timeout=180,
             )
             return True
         except Exception:
@@ -64,6 +69,17 @@ def _load():
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
     ]
     lib.nptpu_npy_read.restype = ctypes.c_int
+    lib.nptpu_stream_create.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.nptpu_stream_create.restype = ctypes.c_void_p
+    lib.nptpu_stream_acquire.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.nptpu_stream_acquire.restype = ctypes.c_int32
+    lib.nptpu_stream_data.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.nptpu_stream_data.restype = ctypes.POINTER(ctypes.c_float)
+    lib.nptpu_stream_release.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.nptpu_stream_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
