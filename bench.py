@@ -289,6 +289,14 @@ def main():
     dev = jax.devices()[0]
     _log(f"device: {dev.platform}:{dev.device_kind} x{jax.device_count()}")
 
+    # Open the device->host channel early: the first D2H through a tunneled
+    # TPU can stall for minutes; paying it here keeps the timed sections sane.
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    float(jnp.ones((1,))[0])
+    _log(f"D2H channel warm in {time.perf_counter()-t0:.1f}s")
+
     solves_per_sec, p50 = bench_flagship(scenarios, args.horizon, args.iters, reps)
 
     if args.full:

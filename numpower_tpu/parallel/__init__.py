@@ -6,6 +6,7 @@ from numpower_tpu.parallel.mesh import (  # noqa: F401
 from numpower_tpu.parallel.sharding import (  # noqa: F401
     solve_mpc_boxqp_dp, solve_mpc_boxqp_dp_tp, sweep_statistics_dp,
 )
+from numpower_tpu.parallel.pipeline import rollout_lti_pipelined  # noqa: F401
 from numpower_tpu.parallel.distributed import (  # noqa: F401
     initialize, is_multi_host, local_scenario_slice, scaling_report,
 )

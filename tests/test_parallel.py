@@ -82,3 +82,32 @@ def test_scaling_report():
     rep = scaling_report(1000.0, 1000.0 * jax.device_count() * 0.9)
     assert rep["devices"] == jax.device_count()
     assert abs(rep["efficiency"] - 0.9) < 1e-9
+
+
+def test_pipelined_rollout_matches_sequential():
+    # PP over the horizon axis (SURVEY §2.5 pipeline row)
+    from numpower_tpu.models import batched_rollout_lti, double_integrator
+    from numpower_tpu.parallel.pipeline import rollout_lti_pipelined
+
+    A, B = double_integrator(0.1)
+    mesh = make_mesh((2, 4))  # 4-stage pipeline
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.standard_normal((16, 2)).astype(np.float32))
+    us = jnp.asarray(0.1 * rng.standard_normal((16, 32, 1)).astype(np.float32))
+    finals = rollout_lti_pipelined(jnp.asarray(A), jnp.asarray(B), x0s, us, mesh)
+    ref = batched_rollout_lti(A, B, x0s, us)[:, -1]
+    np.testing.assert_allclose(np.asarray(finals), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_rollout_eight_stages():
+    from numpower_tpu.models import batched_rollout_lti, quadrotor12
+    from numpower_tpu.parallel.pipeline import rollout_lti_pipelined
+
+    A, B = quadrotor12(0.02)
+    mesh = make_mesh((1, 8), axis_names=("data", "model"))
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(0.1 * rng.standard_normal((8, 12)).astype(np.float32))
+    us = jnp.asarray(0.1 * rng.standard_normal((8, 64, 4)).astype(np.float32))
+    finals = rollout_lti_pipelined(jnp.asarray(A), jnp.asarray(B), x0s, us, mesh)
+    ref = batched_rollout_lti(A, B, x0s, us)[:, -1]
+    np.testing.assert_allclose(np.asarray(finals), np.asarray(ref), rtol=1e-4, atol=1e-5)
