@@ -269,10 +269,52 @@ def bench_tube(scenarios: int, reps: int):
     )
 
 
+def bench_scaling(scenarios: int, reps: int):
+    """Scaling sweep: DP box-QP solves/s at 1..D devices (BASELINE: >=85%
+    efficiency at 2+ hosts). On a virtual CPU mesh this validates the
+    sharded program + harness; real efficiency numbers require a pod."""
+    import jax
+    import jax.numpy as jnp
+
+    from numpower_tpu.models import condense, quadrotor12
+    from numpower_tpu.parallel import make_mesh, shard_batch, solve_mpc_boxqp_dp
+    from numpower_tpu.utils.profiler import time_compiled
+
+    A, B = quadrotor12(0.02)
+    Q = np.eye(12, dtype=np.float32)
+    R = np.eye(4, dtype=np.float32) * 0.1
+    QF = np.eye(12, dtype=np.float32) * 5.0
+    qp = jax.jit(condense, static_argnums=5)(A, B, Q, R, QF, 16)
+
+    D = jax.device_count()
+    widths = [w for w in (1, 2, 4, 8, 16, 32) if w <= D]
+    base_rate = None
+    for w in widths:
+        mesh = make_mesh((w, 1), devices=jax.devices()[:w])
+        x0s = shard_batch(
+            jnp.asarray(
+                0.3 * np.random.default_rng(0).standard_normal((scenarios, 12)),
+                jnp.float32,
+            ),
+            mesh,
+        )
+        fn = lambda qp, x0s: solve_mpc_boxqp_dp(qp, x0s, -1.0, 1.0, mesh, iters=30).U
+        dt = time_compiled(fn, qp, x0s, reps=max(2, reps // 3))
+        rate = scenarios / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * w)
+        _log(
+            f"[scaling] devices={w}: {rate:,.0f} solves/s "
+            f"(efficiency vs linear-from-1: {eff:.2f})"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny shapes (CPU smoke)")
     ap.add_argument("--full", action="store_true", help="run all BASELINE configs")
+    ap.add_argument("--scaling", action="store_true", help="DP scaling sweep over devices")
     ap.add_argument("--scenarios", type=int, default=None)
     ap.add_argument("--horizon", type=int, default=30)
     ap.add_argument("--iters", type=int, default=40)
@@ -303,6 +345,9 @@ def main():
         bench_lqr(args.horizon, reps)
         bench_ilqr(reps)
         bench_tube(min(scenarios * 4, 16384) if not args.quick else 512, reps)
+
+    if args.scaling:
+        bench_scaling(scenarios, reps)
 
     target = 10_000.0  # BASELINE north star: solves/s/chip
     print(

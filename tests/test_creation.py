@@ -60,3 +60,18 @@ def test_linspace():
     np.testing.assert_allclose(
         np.asarray(ops.linspace(0, 1, 5)), np.linspace(0, 1, 5), rtol=1e-6
     )
+
+
+def test_dtype_string_registry():
+    # reference types.c: "float32" / "double64" descriptors
+    from numpower_tpu import ops
+
+    assert ops.zeros((2,), dtype="float32").dtype == jnp.float32
+    assert ops.get_type_size("float32") == 4
+    assert ops.get_type_size("double64") == 8
+    assert ops.is_type("float32", "float32")
+    assert not ops.is_type("float32", "double64")
+    a = ops.array([1, 2], dtype="float32")
+    assert a.dtype == jnp.float32
+    with pytest.raises(ValueError):
+        ops.zeros((2,), dtype="floatX")
