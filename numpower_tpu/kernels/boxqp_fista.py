@@ -43,7 +43,7 @@ def _fista_betas(iters: int):
     return betas
 
 
-def _fista_kernel(Ht_ref, g_ref, lostep_ref, out_ref, *, iters: int,
+def _fista_kernel(Ht_ref, g_ref, lostep_ref, u0_ref, out_ref, *, iters: int,
                   coarse_iters: int, d: int):
     """One grid step = one scenario tile. Ht (d_pad, d_pad) VMEM-resident;
     g tile (TILE_N, d_pad); carries (U, Y) live in VMEM/registers.
@@ -65,7 +65,7 @@ def _fista_kernel(Ht_ref, g_ref, lostep_ref, out_ref, *, iters: int,
     # momentum reset there)
     betas = _fista_betas(coarse_iters) + _fista_betas(iters - coarse_iters)
 
-    U = jnp.zeros_like(g)
+    U = u0_ref[:]
     Y = U
     for k in range(iters):
         precision = (
@@ -93,12 +93,14 @@ def fista_boxqp_pallas(
     coarse_iters: int = 0,
     tile_n: int = 1024,  # measured best on v5e (61.6us vs 78.8us at 4096)
     interpret: bool = False,
+    U0: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Batched box-QP solve: argmin_U 1/2 U'HU + g_i'U  s.t. lo<=U<=hi.
 
     Returns (N, d). Zero-pads d to the 128-lane boundary and N to the tile;
     padded H rows/cols are zero so padded lanes never couple into real ones,
-    and padded g rows produce discarded outputs.
+    and padded g rows produce discarded outputs. U0 warm-starts the iterate
+    (receding-horizon shifts).
     """
     N, d = g.shape
     d_pad = _round_up(d, 128)
@@ -107,6 +109,9 @@ def fista_boxqp_pallas(
 
     Ht = jnp.zeros((d_pad, d_pad), H.dtype).at[:d, :d].set(H.T)
     g_p = jnp.zeros((n_pad, d_pad), g.dtype).at[:N, :d].set(g)
+    u0_p = jnp.zeros((n_pad, d_pad), g.dtype)
+    if U0 is not None:
+        u0_p = u0_p.at[:N, :d].set(U0)
     params = jnp.stack(
         [
             (1.0 / lipschitz).astype(jnp.float32),
@@ -125,16 +130,17 @@ def fista_boxqp_pallas(
             pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), g.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * d_pad * d_pad * iters,
-            bytes_accessed=(d_pad * d_pad + 2 * n_pad * d_pad) * 4,
+            bytes_accessed=(d_pad * d_pad + 3 * n_pad * d_pad) * 4,
             transcendentals=iters,
         ),
         interpret=interpret,
-    )(Ht, g_p, params)
+    )(Ht, g_p, params, u0_p)
     return out[:N, :d]
 
 

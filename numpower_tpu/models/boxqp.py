@@ -147,17 +147,17 @@ def solve_mpc_boxqp(
     if coarse_iters is None:
         coarse_iters = max(0, iters - 12)
     if method == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        method = "pallas" if (on_tpu and U0 is None) else "fista"
+        method = "pallas" if jax.default_backend() in ("tpu", "axon") else "fista"
     g = gradient_offset(qp, x0s, x_ref)
     if method == "pallas":
         from numpower_tpu.kernels.boxqp_fista import fista_boxqp_pallas
 
         squeeze = g.ndim == 1
         g2 = g[None] if squeeze else g
+        U0_2 = None if U0 is None else (U0[None] if squeeze else U0)
         U = fista_boxqp_pallas(
             qp.H, g2, jnp.float32(u_lo), jnp.float32(u_hi), qp.lipschitz,
-            iters=iters, coarse_iters=coarse_iters,
+            iters=iters, coarse_iters=coarse_iters, U0=U0_2,
         )
         if squeeze:
             U = U[0]

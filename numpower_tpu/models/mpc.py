@@ -59,14 +59,15 @@ class MPCController:
         )
 
     def _step_impl(self, qp: CondensedQP, state: MPCState, x0s: jax.Array):
+        from numpower_tpu.models.boxqp import solve_mpc_boxqp
+
         T, m = qp.T, qp.m
         # warm start: shift previous plan one stage, hold last input
         U_shift = jnp.concatenate(
             [state.U_prev[:, m:], state.U_prev[:, -m:]], axis=1
         )
-        g = gradient_offset(qp, x0s, self.x_ref)
-        res = solve_boxqp_fista(
-            qp.H, g, self.u_lo, self.u_hi, L=qp.lipschitz,
+        res = solve_mpc_boxqp(
+            qp, x0s, self.u_lo, self.u_hi, x_ref=self.x_ref,
             iters=self.iters, U0=U_shift, coarse_iters=self.coarse_iters,
         )
         u0 = res.U[:, :m]

@@ -95,3 +95,19 @@ def test_psd_solve_batched_riccati_shapes():
         np.asarray(jnp.einsum("nij,njk->nik", spd, X)), np.asarray(b),
         rtol=2e-3, atol=2e-3,
     )
+
+
+def test_fista_kernel_warm_start(qp_and_g):
+    qp, g = qp_and_g
+    # cold solve to near-convergence
+    U_star = fista_boxqp_pallas(
+        qp.H, g, jnp.float32(-0.5), jnp.float32(0.5), qp.lipschitz,
+        iters=300, tile_n=16, interpret=True,
+    )
+    # warm start from the solution: few iterations must stay at the solution
+    U_warm = fista_boxqp_pallas(
+        qp.H, g, jnp.float32(-0.5), jnp.float32(0.5), qp.lipschitz,
+        iters=5, tile_n=16, interpret=True, U0=U_star,
+    )
+    np.testing.assert_allclose(np.asarray(U_warm), np.asarray(U_star),
+                               rtol=1e-4, atol=1e-5)
