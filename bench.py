@@ -197,6 +197,32 @@ def bench_lqr(horizon: int, reps: int):
         f"{t2*1e6:.1f} us/batch -> {256/t2:,.0f} solves/s"
     )
 
+    # config #2b: per-scenario dynamics (the batched-small-cholesky path,
+    # Pallas kernel on TPU)
+    from numpower_tpu.models import quadrotor12, riccati_scan_per_scenario
+
+    Aq, Bq = quadrotor12(0.02)
+    N = 1024
+    rng = np.random.default_rng(4)
+    As = jnp.asarray(
+        np.tile(np.asarray(Aq), (N, 1, 1))
+        + 0.01 * rng.standard_normal((N, 12, 12)).astype(np.float32)
+    )
+    Bs = jnp.broadcast_to(jnp.asarray(Bq), (N, 12, 4))
+    Qq = np.eye(12, dtype=np.float32)
+    Rq = np.eye(4, dtype=np.float32) * 0.1
+    QFq = np.eye(12, dtype=np.float32) * 5.0
+    t2b = _device_time_per_call(
+        lambda As, Bs, i: riccati_scan_per_scenario(
+            As + i * 1e-6, Bs, Qq, Rq, QFq, horizon
+        )[0][0, 0, 0, 0],
+        (As, Bs), K=8, reps=max(2, reps // 3),
+    )
+    _log(
+        f"[config2b] {N}-scenario per-scenario Riccati h={horizon}: "
+        f"{t2b*1e3:.2f} ms/batch -> {N/t2b:,.0f} solves/s"
+    )
+
 
 def bench_ilqr(reps: int):
     """Config #3: cartpole iLQR with finite-diff Jacobians."""
