@@ -171,7 +171,14 @@ def riccati_scan_per_scenario(As, Bs, Q, R, QF, horizon: int,
     N, n, _ = As.shape
     m = Bs.shape[-1]
     if method == "auto":
-        method = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        method = "fused" if jax.default_backend() in ("tpu", "axon") else "xla"
+
+    if method == "fused":
+        # Entire backward pass in one Pallas program (P resident in VMEM,
+        # all products as batch-on-lanes VPU ops).
+        from numpower_tpu.kernels.riccati import riccati_batched_fused
+
+        return riccati_batched_fused(As, Bs, Q, R, QF, horizon)
 
     if method == "pallas":
         from numpower_tpu.kernels.cholesky import psd_solve_batched

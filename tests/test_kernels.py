@@ -111,3 +111,26 @@ def test_fista_kernel_warm_start(qp_and_g):
     )
     np.testing.assert_allclose(np.asarray(U_warm), np.asarray(U_star),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_riccati_fused_matches_reference():
+    from numpower_tpu.kernels.riccati import riccati_batched_fused
+    from numpower_tpu.models import riccati_scan_per_scenario, quadrotor12
+
+    A, B = quadrotor12(0.02)
+    N = 8
+    rng = np.random.default_rng(0)
+    As = jnp.asarray(np.tile(np.asarray(A), (N, 1, 1))
+                     + 0.01 * rng.standard_normal((N, 12, 12)).astype(np.float32))
+    Bs = jnp.asarray(np.tile(np.asarray(B), (N, 1, 1))
+                     + 0.01 * rng.standard_normal((N, 12, 4)).astype(np.float32))
+    Q = np.eye(12, dtype=np.float32)
+    R = np.eye(4, dtype=np.float32) * 0.1
+    QF = np.eye(12, dtype=np.float32) * 5.0
+    Ks_f, P0_f = riccati_batched_fused(As, Bs, Q, R, QF, 20, tile_b=128,
+                                       interpret=True)
+    Ks_r, P0_r = riccati_scan_per_scenario(As, Bs, Q, R, QF, 20, method="xla")
+    np.testing.assert_allclose(np.asarray(Ks_f), np.asarray(Ks_r),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(P0_f), np.asarray(P0_r),
+                               rtol=1e-3, atol=1e-3)
