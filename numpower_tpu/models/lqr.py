@@ -121,6 +121,55 @@ def riccati_associative(A, B, Q, R, QF, horizon: int):
     return Ks, Ps
 
 
+def lqt_solve(A, B, Q, R, QF, x0, x_refs, horizon: int):
+    """Finite-horizon LQ TRACKING (affine Riccati): drive the state along a
+    reference trajectory x_refs ((T+1, n): stage references r_1..r_T at
+    indices 1..T; index 0 unused) minimizing
+        sum_t (x_t - r_t)' Q (x_t - r_t) + u_t' R u_t  +  (x_T - r_T)' QF (x_T - r_T).
+
+    Backward pass carries (P_t, p_t) with u* = -K_t x - k_t:
+        S   = R + B' P B
+        K   = S^{-1} B' P A,     k = S^{-1} B' p
+        P'  = Q + A'PA - (B'PA)' K
+        p'  = -Q r_t + (A - BK)' (p - P B k) + K' R k
+
+    Returns (us (T, m), xs (T+1, n)). The reference has no tracking solver;
+    its users hand-roll this loop in PHP over nd ops.
+    """
+
+    def step(carry, r_t):
+        P, p = carry
+        BtP = B.T @ P
+        S = R + BtP @ B
+        L = jnp.linalg.cholesky(0.5 * (S + S.T))
+        K = jax.scipy.linalg.cho_solve((L, True), BtP @ A)
+        k = jax.scipy.linalg.cho_solve((L, True), B.T @ p)
+        Acl = A - B @ K
+        P_new = Q + A.T @ P @ A - (BtP @ A).T @ K
+        P_new = 0.5 * (P_new + P_new.T)
+        p_new = -(Q @ r_t) + Acl.T @ (p - P @ (B @ k)) + K.T @ (R @ k)
+        return (P_new, p_new), (K, k)
+
+    P_T = QF
+    p_T = -(QF @ x_refs[-1])
+    # iteration i computes gains (K_{T-1-i}, k_{T-1-i}) from the carried
+    # (P, p), THEN folds in the stage cost at t = T-1-i with r_{T-1-i}
+    # (r_0 only shifts V_0 by a constant — it never affects any control)
+    refs_rev = jnp.flip(x_refs[:-1], axis=0)
+    (_, _), (Ks_rev, ks_rev) = lax.scan(step, (P_T, p_T), refs_rev)
+    Ks = jnp.flip(Ks_rev, axis=0)
+    ks = jnp.flip(ks_rev, axis=0)
+
+    def fwd(x, Kk):
+        K, k = Kk
+        u = -(K @ x) - k
+        x_next = A @ x + B @ u
+        return x_next, (u, x_next)
+
+    _, (us, xs) = lax.scan(fwd, x0, (Ks, ks))
+    return us, jnp.concatenate([x0[None], xs], axis=0)
+
+
 def lqr_infinite_gain(A, B, Q, R, iters: int = 200):
     """Infinite-horizon discrete LQR gain by Riccati fixed-point iteration
     (static iteration count — compiler-friendly control flow)."""

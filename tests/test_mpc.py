@@ -319,3 +319,42 @@ def test_riccati_per_scenario_pallas_interpret(quad):
         np.asarray(jnp.einsum("nij,njk->nik", spd, X)), np.asarray(rhs),
         rtol=2e-3, atol=2e-3,
     )
+
+
+def test_lqt_tracking_matches_condensed_solve(di):
+    """LQT (affine Riccati) must equal the unconstrained condensed QP solve
+    with the same stacked reference."""
+    from numpower_tpu.models.lqr import lqt_solve
+
+    A, B = di
+    Q = jnp.eye(2); R = jnp.eye(1) * 0.1; QF = jnp.eye(2) * 10.0
+    T = 12
+    x0 = jnp.array([0.5, -0.2])
+    # reference: ramp in position, zero velocity
+    refs = jnp.stack([jnp.array([0.1 * t, 0.0]) for t in range(T + 1)])
+    us, xs = lqt_solve(A, B, Q, R, QF, x0, refs, T)
+
+    # condensed ground truth (fp64): min 1/2 U'HU + g'U with Xref stacking
+    H_ref, Sx_ref, Su_ref, Qb = np_condensed(A, B, Q, R, QF, T)
+    xref_stack = np.asarray(refs[1:], np.float64).reshape(-1)
+    g = Su_ref.T @ Qb @ (Sx_ref @ np.asarray(x0, np.float64) - xref_stack)
+    # J = sum (x-r)'Q(x-r) + u'Ru -> 0.5 U'(2H)U + (2g)'U: optimum -H^{-1} g
+    U_opt = -np.linalg.solve(H_ref, g)
+    np.testing.assert_allclose(np.asarray(us).reshape(-1), U_opt,
+                               rtol=2e-3, atol=2e-3)
+    # trajectory actually tracks the ramp mid-horizon
+    mid = np.asarray(xs)[T // 2]
+    assert abs(mid[0] - 0.1 * (T // 2)) < 0.2
+
+
+def test_lqt_zero_reference_equals_lqr(di):
+    from numpower_tpu.models.lqr import lqt_solve
+
+    A, B = di
+    Q = jnp.eye(2); R = jnp.eye(1) * 0.1; QF = jnp.eye(2) * 10.0
+    x0 = jnp.array([1.0, 0.0])
+    refs = jnp.zeros((21, 2))
+    us_t, _ = lqt_solve(A, B, Q, R, QF, x0, refs, 20)
+    us_r, _ = lqr_solve(A, B, Q, R, QF, x0, 20)
+    np.testing.assert_allclose(np.asarray(us_t), np.asarray(us_r),
+                               rtol=1e-4, atol=1e-5)
