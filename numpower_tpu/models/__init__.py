@@ -10,7 +10,7 @@ from numpower_tpu.models.rollout import (  # noqa: F401
 )
 from numpower_tpu.models.lqr import (  # noqa: F401
     riccati_scan, riccati_associative, riccati_scan_per_scenario,
-    lqr_infinite_gain, lqr_solve, lqr_solve_batched,
+    lqr_infinite_gain, lqr_solve, lqr_solve_batched, lqt_solve,
 )
 from numpower_tpu.models.condensed import (  # noqa: F401
     CondensedQP, prediction_matrices, condense, gradient_offset,

@@ -17,7 +17,6 @@ thousands of eager PHP-dispatched kernels (SURVEY.md §3.2).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

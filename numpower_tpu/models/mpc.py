@@ -10,15 +10,13 @@ path (the 10 ms real-time budget, BASELINE.md).
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 
-from numpower_tpu.models.boxqp import solve_boxqp_fista
-from numpower_tpu.models.condensed import CondensedQP, condense, gradient_offset
+from numpower_tpu.models.condensed import CondensedQP, condense
 
 
 @flax.struct.dataclass

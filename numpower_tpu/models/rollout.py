@@ -11,7 +11,6 @@ mirror what a reference user could compute).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Tuple
 
 import jax

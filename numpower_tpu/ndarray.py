@@ -20,7 +20,7 @@ buffer.c counters.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ import numpy as np
 
 from numpower_tpu import ops
 from numpower_tpu.utils import debug as _debug
-from numpower_tpu.utils.config import default_dtype
 
 
 def _unwrap(x):

@@ -16,7 +16,6 @@ profitable; these jnp versions are the semantic reference.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -10,7 +10,6 @@ differs (jax.devices() spans all hosts after initialize()).
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax

@@ -16,8 +16,6 @@ regime where LLM pipeline parallelism pays.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

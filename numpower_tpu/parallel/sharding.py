@@ -22,12 +22,10 @@ program + explicit collectives and overlaps them with compute.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from numpower_tpu.models.boxqp import BoxQPResult
