@@ -43,48 +43,6 @@ def _readback(out):
     return float(leaf.ravel()[0])
 
 
-def _time_fn(fn, *args, warmup: int = 2, reps: int = 10, inner: tuple = (5, 55)):
-    """Slope-based pipelined timing.
-
-    Measures (inner[1] - inner[0]) extra back-to-back dispatches between two
-    readback-synced runs; the slope cancels the constant readback/tunnel RTT
-    (~28 ms through the relay) and yields per-call steady-state time. Returns
-    an array of per-call times (reps entries).
-    """
-    for _ in range(warmup):
-        _readback(fn(*args))
-    n1, n2 = inner
-    times = []
-    for _ in range(reps):
-        t = time.perf_counter()
-        out = None
-        for _ in range(n1):
-            out = fn(*args)
-        _readback(out)
-        t1 = time.perf_counter() - t
-        t = time.perf_counter()
-        for _ in range(n2):
-            out = fn(*args)
-        _readback(out)
-        t2 = time.perf_counter() - t
-        times.append(max((t2 - t1) / (n2 - n1), 1e-9))
-    return np.asarray(times)
-
-
-def _time_latency(fn, *args, warmup: int = 2, reps: int = 10):
-    """Single-call latency including result readback (through the relay this
-    includes ~28 ms tunnel RTT; on local TPU hardware it is the real
-    dispatch+compute+D2H latency)."""
-    for _ in range(warmup):
-        _readback(fn(*args))
-    times = []
-    for _ in range(reps):
-        t = time.perf_counter()
-        _readback(fn(*args))
-        times.append(time.perf_counter() - t)
-    return np.asarray(times)
-
-
 def _device_time_per_call(body_fn, args, K: int = 64, reps: int = 5):
     """TRUE device seconds per body invocation: run K data-dependent body
     iterations inside ONE jitted scan (single dispatch), subtract the no-op
