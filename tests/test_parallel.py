@@ -111,3 +111,22 @@ def test_pipelined_rollout_eight_stages():
     finals = rollout_lti_pipelined(jnp.asarray(A), jnp.asarray(B), x0s, us, mesh)
     ref = batched_rollout_lti(A, B, x0s, us)[:, -1]
     np.testing.assert_allclose(np.asarray(finals), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_forward():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (256, 120)
+    assert bool(jnp.all(jnp.isfinite(out)))
