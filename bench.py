@@ -253,6 +253,63 @@ def bench_tube(scenarios: int, reps: int):
     )
 
 
+def bench_serving(scenarios: int, horizon: int, reps: int):
+    """Production serving shape: receding-horizon warm-started closed-loop
+    ticks (MPCController) — tick latency is the real-time number."""
+    import jax
+    import jax.numpy as jnp
+
+    from numpower_tpu.models import MPCController, quadrotor12
+
+    A, B = quadrotor12(0.02)
+    ctrl = MPCController(
+        A, B, np.eye(12, dtype=np.float32), np.eye(4, dtype=np.float32) * 0.1,
+        np.eye(12, dtype=np.float32) * 5.0, horizon=horizon,
+        u_lo=-1.0, u_hi=1.0, iters=20,
+    )
+    state0 = ctrl.init(scenarios)
+    x0 = jnp.asarray(
+        0.3 * np.random.default_rng(0).standard_normal((scenarios, 12)), jnp.float32
+    )
+    A_j, B_j = jnp.asarray(A), jnp.asarray(B)
+
+    def tick(carry, i):
+        state, x = carry
+        u0, state, _ = ctrl._step_impl(ctrl.qp, state, x + i * 1e-7)
+        x_next = x @ A_j.T + u0 @ B_j.T
+        return (state, x_next), None
+
+    import jax as _jax
+    from jax import lax
+
+    K = 32
+
+    @_jax.jit
+    def rep(state, x):
+        (state, x), _ = lax.scan(tick, (state, x), jnp.arange(K, dtype=jnp.float32))
+        return x[0, 0]
+
+    @_jax.jit
+    def rep0(state, x):
+        return x[0, 0]
+
+    def run_min(r):
+        float(jax.device_get(r(state0, x0)))
+        best = float("inf")
+        for _ in range(max(2, reps // 2)):
+            t = time.perf_counter()
+            float(jax.device_get(r(state0, x0)))
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    per_tick = max((run_min(rep) - run_min(rep0)) / K, 1e-9)
+    _log(
+        f"[serving] {scenarios}-scenario warm-started controller tick "
+        f"(20 iters): {per_tick*1e6:.1f} us/tick -> {scenarios/per_tick:,.0f} "
+        f"control updates/s"
+    )
+
+
 def bench_scaling(scenarios: int, reps: int):
     """Scaling sweep: DP box-QP solves/s at 1..D devices (BASELINE: >=85%
     efficiency at 2+ hosts). On a virtual CPU mesh this validates the
@@ -329,6 +386,7 @@ def main():
         bench_lqr(args.horizon, reps)
         bench_ilqr(reps)
         bench_tube(min(scenarios * 4, 16384) if not args.quick else 512, reps)
+        bench_serving(scenarios, args.horizon, reps)
 
     if args.scaling:
         bench_scaling(scenarios, reps)

@@ -216,6 +216,23 @@ class NDArray:
     def copy(self) -> "NDArray":
         return NDArray(ops.copy(self._value))
 
+    def astype(self, dtype) -> "NDArray":
+        """Dtype conversion (accepts reference-style strings, e.g.
+        "float32"/"double64" — ops/dtypes.py)."""
+        from numpower_tpu.ops.dtypes import resolve_dtype
+
+        return NDArray(self._value.astype(resolve_dtype(dtype)))
+
+    def item(self) -> float:
+        """Scalar extraction for 0-d/1-element arrays."""
+        return float(self._value.reshape(()))
+
+    def sort(self, axis=-1) -> "NDArray":
+        return NDArray(ops.sort(self._value, axis))
+
+    def argsort(self, axis=-1) -> "NDArray":
+        return NDArray(ops.argsort(self._value, axis))
+
     def fill(self, value) -> "NDArray":
         """Reference mutates in place; immutably rebinds here."""
         self._value = ops.fill(self._value, value)

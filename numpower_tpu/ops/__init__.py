@@ -22,6 +22,7 @@ from numpower_tpu.ops.logic import (  # noqa: F401
 )
 from numpower_tpu.ops.reductions import (  # noqa: F401
     sum, prod, mean, median, min, max, argmin, argmax, cumsum, cumprod,
+    sort, argsort, take, searchsorted,
 )
 from numpower_tpu.ops.statistics import (  # noqa: F401
     quantile, percentile, std, variance, var, average,

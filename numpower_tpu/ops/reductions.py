@@ -75,3 +75,21 @@ def cumsum(a, axis=None):
 
 def cumprod(a, axis=None):
     return jnp.cumprod(asarray(a), axis=axis)
+
+
+def sort(a, axis=-1):
+    """NumPy-completing addition (the reference sorts only internally, e.g.
+    qsort in Median — arithmetics.c:111-158); XLA sorts on-device."""
+    return jnp.sort(asarray(a), axis=axis)
+
+
+def argsort(a, axis=-1):
+    return jnp.argsort(asarray(a), axis=axis)
+
+
+def take(a, indices, axis=None):
+    return jnp.take(asarray(a), jnp.asarray(indices), axis=axis)
+
+
+def searchsorted(a, v, side="left"):
+    return jnp.searchsorted(asarray(a), asarray(v), side=side)

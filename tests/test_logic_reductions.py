@@ -101,3 +101,22 @@ def test_where_isnan():
     np.testing.assert_array_equal(
         np.asarray(ops.where(ops.isnan(x), 0.0, x)), [1.0, 0.0, 3.0]
     )
+
+
+def test_sort_take():
+    x = np.array([3.0, 1.0, 2.0], np.float32)
+    np.testing.assert_array_equal(np.asarray(ops.sort(x)), np.sort(x))
+    np.testing.assert_array_equal(np.asarray(ops.argsort(x)), np.argsort(x))
+    np.testing.assert_array_equal(np.asarray(ops.take(x, [2, 0])), [2.0, 3.0])
+    assert int(ops.searchsorted(np.sort(x), 1.5)) == 1
+
+
+def test_ndarray_astype_item_sort():
+    from numpower_tpu import NDArray
+
+    a = NDArray([3.0, 1.0, 2.0])
+    assert a.astype("int32").dtype == jnp.int32
+    # double64 resolves (jax demotes to fp32 unless x64 is enabled)
+    assert a.astype("double64").dtype in (jnp.float64, jnp.float32)
+    assert a.sort().toArray() == [1.0, 2.0, 3.0]
+    assert NDArray([7.0]).item() == 7.0
