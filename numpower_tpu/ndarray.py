@@ -221,7 +221,7 @@ class NDArray:
         "float32"/"double64" — ops/dtypes.py)."""
         from numpower_tpu.ops.dtypes import resolve_dtype
 
-        return NDArray(self._value.astype(resolve_dtype(dtype)))
+        return NDArray(self._value, dtype=resolve_dtype(dtype))
 
     def item(self) -> float:
         """Scalar extraction for 0-d/1-element arrays."""
