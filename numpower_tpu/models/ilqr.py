@@ -137,8 +137,77 @@ def ilqr_solve(
     return ILQRResult(us=us_f, xs=xs_f, cost=cost_f, costs=costs)
 
 
-def ilqr_solve_batched(f, x0s, Q, R, QF, x_goal, horizon, **kwargs):
-    """vmap iLQR over scenario batch (each scenario its own line search)."""
-    return jax.vmap(
-        lambda x0: ilqr_solve(f, x0, Q, R, QF, x_goal, horizon, **kwargs)
-    )(x0s)
+def ilqr_solve_batched(f, x0s, Q, R, QF, x_goal, horizon, backend: str = "vmap",
+                       **kwargs):
+    """Batched iLQR over scenarios.
+
+    backend="vmap": per-scenario vmapped ilqr_solve (portable default).
+    backend="fused": the backward pass runs as ONE Pallas kernel over the
+    whole batch (kernels/ilqr_backward.py — batch-on-lanes, per-timestep
+    linearizations streamed with automatic double buffering); linearization
+    and line search stay vmapped. TPU-only (use interpret kernels on CPU via
+    tests, not production).
+    """
+    if backend == "vmap":
+        return jax.vmap(
+            lambda x0: ilqr_solve(f, x0, Q, R, QF, x_goal, horizon, **kwargs)
+        )(x0s)
+    return _ilqr_solve_batched_fused(f, x0s, Q, R, QF, x_goal, horizon, **kwargs)
+
+
+def _ilqr_solve_batched_fused(
+    f, x0s, Q, R, QF, x_goal, horizon: int, iters: int = 20, reg: float = 1e-3,
+    use_fd: bool = False, fd_eps: float = 1e-4, us_init=None,
+    alphas: Tuple[float, ...] = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01),
+    interpret: bool = False,
+) -> ILQRResult:
+    from numpower_tpu.kernels.ilqr_backward import ilqr_backward_fused
+
+    N = x0s.shape[0]
+    m = R.shape[0]
+    T = horizon
+    us = (
+        us_init if us_init is not None
+        else jnp.zeros((N, T, m), dtype=x0s.dtype)
+    )
+    roll = jax.vmap(lambda x0, u: rollout_nonlinear(f, x0, u))
+    xs = roll(x0s, us)
+    cost_fn = jax.vmap(lambda x, u: _total_cost(x, u, Q, R, QF, x_goal))
+    cost0 = cost_fn(xs, us)
+    alphas_arr = jnp.asarray(alphas, dtype=x0s.dtype)
+
+    def outer(carry, _):
+        xs, us, cost = carry
+        As, Bs = jax.vmap(
+            lambda x, u: linearize_trajectory(f, x, u, use_fd=use_fd, eps=fd_eps)
+        )(xs, us)
+        lxs = 2.0 * (xs[:, :T] - x_goal) @ Q.T
+        lus = 2.0 * us @ R.T
+        lxT = 2.0 * (xs[:, T] - x_goal) @ QF.T
+        ks, Ks = ilqr_backward_fused(
+            As, Bs, lxs, lus, 2.0 * Q, 2.0 * R, lxT, 2.0 * QF,
+            reg=reg, interpret=interpret,
+        )
+
+        def try_alpha(alpha):
+            us_a, xs_a = jax.vmap(
+                lambda x0, xs_n, us_n, k_n, K_n: _forward_pass(
+                    f, x0, xs_n, us_n, k_n, K_n, alpha
+                )
+            )(x0s, xs, us, ks, Ks)
+            return cost_fn(xs_a, us_a), us_a, xs_a
+
+        costs_a, us_all, xs_all = jax.vmap(try_alpha)(alphas_arr)  # (A, N, ...)
+        best = jnp.argmin(costs_a, axis=0)  # (N,)
+        pick = lambda arr: jnp.take_along_axis(
+            arr, best[None, :].reshape((1, N) + (1,) * (arr.ndim - 2)), axis=0
+        )[0]
+        new_cost_cand = jnp.take_along_axis(costs_a, best[None, :], axis=0)[0]
+        improved = new_cost_cand < cost
+        new_xs = jnp.where(improved[:, None, None], pick(xs_all), xs)
+        new_us = jnp.where(improved[:, None, None], pick(us_all), us)
+        new_cost = jnp.where(improved, new_cost_cand, cost)
+        return (new_xs, new_us, new_cost), new_cost
+
+    (xs_f, us_f, cost_f), costs = lax.scan(outer, (xs, us, cost0), None, length=iters)
+    return ILQRResult(us=us_f, xs=xs_f, cost=cost_f, costs=costs.T)

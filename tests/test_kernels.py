@@ -134,3 +134,44 @@ def test_riccati_fused_matches_reference():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(P0_f), np.asarray(P0_r),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_ilqr_backward_fused_matches_xla():
+    from numpower_tpu.kernels.ilqr_backward import ilqr_backward_fused
+    from numpower_tpu.models import cartpole_step, linearize_trajectory, rollout_nonlinear
+    from numpower_tpu.models.ilqr import _backward_pass
+
+    N, T = 4, 10
+    Q = jnp.eye(4); R = jnp.eye(1) * 0.01; QF = jnp.eye(4) * 10.0
+    x_goal = jnp.zeros(4)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(0.3 * rng.standard_normal((N, 4)).astype(np.float32))
+    us = jnp.asarray(0.1 * rng.standard_normal((N, T, 1)).astype(np.float32))
+    xs = jax.vmap(lambda x0, u: rollout_nonlinear(cartpole_step, x0, u))(x0s, us)
+    As, Bs = jax.vmap(lambda x, u: linearize_trajectory(cartpole_step, x, u))(xs, us)
+    ks_ref, Ks_ref = jax.vmap(
+        lambda A, B, x, u: _backward_pass(A, B, x, u, Q, R, QF, x_goal, 1e-3)
+    )(As, Bs, xs, us)
+    lxs = 2.0 * (xs[:, :T] - x_goal) @ Q.T
+    lus = 2.0 * us @ R.T
+    lxT = 2.0 * (xs[:, T] - x_goal) @ QF.T
+    ks_f, Ks_f = ilqr_backward_fused(As, Bs, lxs, lus, 2 * Q, 2 * R, lxT,
+                                     2 * QF, reg=1e-3, tile_b=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(ks_f), np.asarray(ks_ref),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Ks_f), np.asarray(Ks_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_ilqr_batched_fused_backend_matches_vmap():
+    from numpower_tpu.models import cartpole_step, ilqr_solve_batched
+
+    Q = jnp.eye(4); R = jnp.eye(1) * 0.01; QF = jnp.eye(4) * 10.0
+    x_goal = jnp.zeros(4)
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(0.3 * rng.standard_normal((3, 4)).astype(np.float32))
+    r1 = ilqr_solve_batched(cartpole_step, x0s, Q, R, QF, x_goal, 15, iters=6)
+    r2 = ilqr_solve_batched(cartpole_step, x0s, Q, R, QF, x_goal, 15, iters=6,
+                            backend="fused", interpret=True)
+    np.testing.assert_allclose(np.asarray(r2.cost), np.asarray(r1.cost),
+                               rtol=1e-2, atol=1e-3)
