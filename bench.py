@@ -253,6 +253,32 @@ def bench_tube(scenarios: int, reps: int):
     )
 
 
+def bench_micro(reps: int):
+    """Initializer micro-benchmarks mirroring the reference's phpbench suite
+    (/root/reference/benchmarks/initializers/*, shapes up to 1000x10000) —
+    the only benchmark harness the reference ships."""
+    import jax
+    import jax.numpy as jnp
+
+    from numpower_tpu import ops
+
+    shapes = [(100, 1, 1), (500, 1, 1), (1000, 1, 1), (10, 100, 1),
+              (500, 1000, 1), (1000, 10000, 1)]
+    inits = {
+        "zeros": lambda s, i: ops.zeros(s) + i,
+        "ones": lambda s, i: ops.ones(s) * i,
+        "full": lambda s, i: ops.full(s, 7.0) + i,
+        "identity": lambda s, i: ops.identity(s[0]) + i,
+        "arange": lambda s, i: ops.arange(float(np.prod(s))) + i,
+    }
+    for name, fn in inits.items():
+        s = shapes[-1]
+        t = _device_time_per_call(
+            lambda i, s=s, fn=fn: jnp.sum(fn(s, i)), (), K=64, reps=max(2, reps // 3)
+        )
+        _log(f"[micro] {name}{s}: {t*1e6:.1f} us (incl. consuming reduce)")
+
+
 def bench_serving(scenarios: int, horizon: int, reps: int):
     """Production serving shape: receding-horizon warm-started closed-loop
     ticks (MPCController) — tick latency is the real-time number."""
@@ -356,6 +382,8 @@ def main():
     ap.add_argument("--quick", action="store_true", help="tiny shapes (CPU smoke)")
     ap.add_argument("--full", action="store_true", help="run all BASELINE configs")
     ap.add_argument("--scaling", action="store_true", help="DP scaling sweep over devices")
+    ap.add_argument("--micro", action="store_true",
+                    help="initializer micro-benchmarks (reference phpbench parity)")
     ap.add_argument("--scenarios", type=int, default=None)
     ap.add_argument("--horizon", type=int, default=30)
     ap.add_argument("--iters", type=int, default=40)
@@ -390,6 +418,9 @@ def main():
 
     if args.scaling:
         bench_scaling(scenarios, reps)
+
+    if args.micro:
+        bench_micro(reps)
 
     target = 10_000.0  # BASELINE north star: solves/s/chip
     print(
