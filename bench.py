@@ -210,18 +210,19 @@ def bench_ilqr(reps: int):
     )
     from numpower_tpu.models import ilqr_solve_batched
 
+    backend = "fused" if jax.default_backend() in ("tpu", "axon") else "vmap"
     t = _device_time_per_call(
         lambda xs, i: jnp.sum(
             ilqr_solve_batched(
                 cartpole_step, xs + i * 1e-6, Q, R, QF, x_goal,
-                horizon=50, iters=10, use_fd=True,
+                horizon=50, iters=10, use_fd=True, backend=backend,
             ).cost
         ),
         (x0s,), K=4, reps=2,
     )
     _log(
-        f"[config3b] 256-scenario batched iLQR: {t*1e3:.2f} ms/batch "
-        f"-> {256/t:,.0f} iLQR solves/s"
+        f"[config3b] 256-scenario batched iLQR ({backend} backward): "
+        f"{t*1e3:.2f} ms/batch -> {256/t:,.0f} iLQR solves/s"
     )
 
 
