@@ -43,6 +43,40 @@ def _fista_betas(iters: int):
     return betas
 
 
+def _fista_loop(g, Ht, step, lo, hi, U0, iters: int, coarse_iters: int):
+    """Shared FISTA iteration body (pure arrays, VMEM-resident)."""
+    betas = _fista_betas(coarse_iters) + _fista_betas(iters - coarse_iters)
+    U = U0
+    Y = U
+    for k in range(iters):
+        precision = (
+            lax.Precision.DEFAULT if k < coarse_iters else lax.Precision.HIGHEST
+        )
+        grad = jnp.dot(Y, Ht, precision=precision,
+                       preferred_element_type=jnp.float32) + g
+        U_new = jnp.clip(Y - step * grad, lo, hi)
+        beta = 0.0 if k == coarse_iters - 1 else betas[k]
+        Y = U_new + beta * (U_new - U)
+        U = U_new
+    return U
+
+
+def _fista_g_kernel(Ht_ref, x0_ref, sxT_ref, suqT_ref, lostep_ref, u0_ref,
+                    out_ref, *, iters: int, coarse_iters: int, d: int):
+    """FISTA with IN-KERNEL g formation: g = (x0 @ Sx') @ SuTQ' — two MXU
+    matmuls on the VMEM-resident prediction matrices, then the iteration
+    loop. One HBM read of x0 (tiny) per tile instead of a materialized g."""
+    step = lostep_ref[0]
+    lo = lostep_ref[1]
+    hi = lostep_ref[2]
+    mid = jnp.dot(x0_ref[:], sxT_ref[:], precision=lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    g = jnp.dot(mid, suqT_ref[:], precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    out_ref[:] = _fista_loop(g, Ht_ref[:], step, lo, hi, u0_ref[:],
+                             iters, coarse_iters)
+
+
 def _fista_kernel(Ht_ref, g_ref, lostep_ref, u0_ref, out_ref, *, iters: int,
                   coarse_iters: int, d: int):
     """One grid step = one scenario tile. Ht (d_pad, d_pad) VMEM-resident;
@@ -59,25 +93,8 @@ def _fista_kernel(Ht_ref, g_ref, lostep_ref, u0_ref, out_ref, *, iters: int,
     step = lostep_ref[0]
     lo = lostep_ref[1]
     hi = lostep_ref[2]
-    g = g_ref[:]
-    Ht = Ht_ref[:]
-    # schedule restarts at the precision switch (like the XLA solver's
-    # momentum reset there)
-    betas = _fista_betas(coarse_iters) + _fista_betas(iters - coarse_iters)
-
-    U = u0_ref[:]
-    Y = U
-    for k in range(iters):
-        precision = (
-            lax.Precision.DEFAULT if k < coarse_iters else lax.Precision.HIGHEST
-        )
-        grad = jnp.dot(Y, Ht, precision=precision,
-                       preferred_element_type=jnp.float32) + g
-        U_new = jnp.clip(Y - step * grad, lo, hi)
-        beta = 0.0 if k == coarse_iters - 1 else betas[k]
-        Y = U_new + beta * (U_new - U)
-        U = U_new
-    out_ref[:] = U
+    out_ref[:] = _fista_loop(g_ref[:], Ht_ref[:], step, lo, hi, u0_ref[:],
+                             iters, coarse_iters)
 
 
 @functools.partial(
@@ -141,6 +158,64 @@ def fista_boxqp_pallas(
         ),
         interpret=interpret,
     )(Ht, g_p, params, u0_p)
+    return out[:N, :d]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "coarse_iters", "tile_n", "interpret")
+)
+def fista_mpc_pallas(
+    H: jax.Array,        # (d, d)
+    SxT: jax.Array,      # (n, Tn)  = Sx'
+    SuTQT: jax.Array,    # (Tn, d)  = (Su' Qbar)'
+    x0s: jax.Array,      # (N, n) scenario initial states
+    lo: jax.Array,
+    hi: jax.Array,
+    lipschitz: jax.Array,
+    iters: int = 40,
+    coarse_iters: int = 0,
+    tile_n: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """End-to-end MPC tile solve: g formed IN KERNEL from x0, then FISTA.
+    Prediction matrices stay VMEM-resident; per tile the only HBM traffic is
+    the (tile, n) x0 read and the (tile, d) U write."""
+    N, n = x0s.shape
+    d = H.shape[0]
+    tn = SxT.shape[1]
+    d_pad = _round_up(d, 128)
+    n_col_pad = _round_up(n, 128)
+    tn_pad = _round_up(tn, 128)
+    tile_n = min(tile_n, _round_up(N, 8))
+    n_pad_batch = _round_up(N, tile_n)
+
+    Ht = jnp.zeros((d_pad, d_pad), H.dtype).at[:d, :d].set(H.T)
+    sxT = jnp.zeros((n_col_pad, tn_pad), H.dtype).at[:n, :tn].set(SxT)
+    suqT = jnp.zeros((tn_pad, d_pad), H.dtype).at[:tn, :d].set(SuTQT)
+    x0_p = jnp.zeros((n_pad_batch, n_col_pad), x0s.dtype).at[:N, :n].set(x0s)
+    u0_p = jnp.zeros((n_pad_batch, d_pad), x0s.dtype)
+    params = jnp.stack(
+        [(1.0 / lipschitz).astype(jnp.float32),
+         jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32)]
+    )
+    kernel = functools.partial(
+        _fista_g_kernel, iters=iters, coarse_iters=min(coarse_iters, iters), d=d
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad_batch // tile_n,),
+        in_specs=[
+            pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, n_col_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_col_pad, tn_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad_batch, d_pad), x0s.dtype),
+        interpret=interpret,
+    )(Ht, x0_p, sxT, suqT, params, u0_p)
     return out[:N, :d]
 
 

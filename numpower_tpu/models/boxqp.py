@@ -147,7 +147,25 @@ def solve_mpc_boxqp(
     if coarse_iters is None:
         coarse_iters = max(0, iters - 12)
     if method == "auto":
-        method = "pallas" if jax.default_backend() in ("tpu", "axon") else "fista"
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        # VMEM envelope: the fused kernel holds H (d_pad^2 fp32) + 4 tile
+        # buffers on-chip; beyond d~1024 fall back to the XLA scan.
+        d = qp.H.shape[0]
+        method = "pallas" if (on_tpu and d <= 1024) else "fista"
+    if method == "pallas" and x_ref is None and U0 is None and x0s.ndim == 2:
+        # fully fused path: g formed in-kernel from x0 (no materialized g)
+        from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas
+
+        U = fista_mpc_pallas(
+            qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(u_lo),
+            jnp.float32(u_hi), qp.lipschitz, iters=iters,
+            coarse_iters=coarse_iters,
+        )
+        step = 1.0 / qp.lipschitz
+        g = gradient_offset(qp, x0s)
+        grad = U @ qp.H.T + g
+        resid = jnp.max(jnp.abs(U - jnp.clip(U - step * grad, u_lo, u_hi)))
+        return BoxQPResult(U=U, iterations=jnp.asarray(iters), residual=resid)
     g = gradient_offset(qp, x0s, x_ref)
     if method == "pallas":
         from numpower_tpu.kernels.boxqp_fista import fista_boxqp_pallas

@@ -220,7 +220,10 @@ def riccati_scan_per_scenario(As, Bs, Q, R, QF, horizon: int,
     N, n, _ = As.shape
     m = Bs.shape[-1]
     if method == "auto":
-        method = "fused" if jax.default_backend() in ("tpu", "axon") else "xla"
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        # batch-on-lanes kernels hold n*n rows per tile in VMEM: good for the
+        # small-matrix regime (n <= ~48); larger states go to XLA.
+        method = "fused" if (on_tpu and n <= 48) else "xla"
 
     if method == "fused":
         # Entire backward pass in one Pallas program (P resident in VMEM,
