@@ -263,21 +263,20 @@ def bench_micro(reps: int):
 
     from numpower_tpu import ops
 
-    shapes = [(100, 1, 1), (500, 1, 1), (1000, 1, 1), (10, 100, 1),
-              (500, 1000, 1), (1000, 10000, 1)]
-    inits = {
-        "zeros": lambda s, i: ops.zeros(s) + i,
-        "ones": lambda s, i: ops.ones(s) * i,
-        "full": lambda s, i: ops.full(s, 7.0) + i,
-        "identity": lambda s, i: ops.identity(s[0]) + i,
-        "arange": lambda s, i: ops.arange(float(np.prod(s))) + i,
-    }
-    for name, fn in inits.items():
-        s = shapes[-1]
+    shapes = [(1000, 1, 1), (500, 1000, 1), (1000, 10000, 1)]
+    # each entry: (label-shape description, thunk)
+    cases = []
+    for s in shapes:
+        cases.append((f"zeros{s}", lambda i, s=s: ops.zeros(s) + i))
+        cases.append((f"ones{s}", lambda i, s=s: ops.ones(s) * i))
+        cases.append((f"full{s}", lambda i, s=s: ops.full(s, 7.0) + i))
+    cases.append(("identity(1000)", lambda i: ops.identity(1000) + i))
+    cases.append(("arange(10_000_000)", lambda i: ops.arange(10_000_000.0) + i))
+    for label, fn in cases:
         t = _device_time_per_call(
-            lambda i, s=s, fn=fn: jnp.sum(fn(s, i)), (), K=64, reps=max(2, reps // 3)
+            lambda i, fn=fn: jnp.sum(fn(i)), (), K=64, reps=max(2, reps // 3)
         )
-        _log(f"[micro] {name}{s}: {t*1e6:.1f} us (incl. consuming reduce)")
+        _log(f"[micro] {label}: {t*1e6:.1f} us (incl. consuming reduce)")
 
 
 def bench_serving(scenarios: int, horizon: int, reps: int):

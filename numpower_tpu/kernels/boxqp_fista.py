@@ -62,10 +62,12 @@ def _fista_loop(g, Ht, step, lo, hi, U0, iters: int, coarse_iters: int):
 
 
 def _fista_g_kernel(Ht_ref, x0_ref, sxT_ref, suqT_ref, lostep_ref, u0_ref,
-                    out_ref, *, iters: int, coarse_iters: int, d: int):
+                    out_ref, g_out_ref, *, iters: int, coarse_iters: int,
+                    d: int):
     """FISTA with IN-KERNEL g formation: g = (x0 @ Sx') @ SuTQ' — two MXU
     matmuls on the VMEM-resident prediction matrices, then the iteration
-    loop. One HBM read of x0 (tiny) per tile instead of a materialized g."""
+    loop. One HBM read of x0 (tiny) per tile instead of a materialized g;
+    g is also emitted so callers can form residuals without recomputing it."""
     step = lostep_ref[0]
     lo = lostep_ref[1]
     hi = lostep_ref[2]
@@ -73,6 +75,7 @@ def _fista_g_kernel(Ht_ref, x0_ref, sxT_ref, suqT_ref, lostep_ref, u0_ref,
                   preferred_element_type=jnp.float32)
     g = jnp.dot(mid, suqT_ref[:], precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
+    g_out_ref[:] = g
     out_ref[:] = _fista_loop(g, Ht_ref[:], step, lo, hi, u0_ref[:],
                              iters, coarse_iters)
 
@@ -179,7 +182,7 @@ def fista_mpc_pallas(
 ) -> jax.Array:
     """End-to-end MPC tile solve: g formed IN KERNEL from x0, then FISTA.
     Prediction matrices stay VMEM-resident; per tile the only HBM traffic is
-    the (tile, n) x0 read and the (tile, d) U write."""
+    the (tile, n) x0 read and the (tile, d) U/g writes. Returns (U, g)."""
     N, n = x0s.shape
     d = H.shape[0]
     tn = SxT.shape[1]
@@ -212,11 +215,18 @@ def fista_mpc_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad_batch, d_pad), x0s.dtype),
+        out_specs=(
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad_batch, d_pad), x0s.dtype),
+            jax.ShapeDtypeStruct((n_pad_batch, d_pad), x0s.dtype),
+        ),
         interpret=interpret,
     )(Ht, x0_p, sxT, suqT, params, u0_p)
-    return out[:N, :d]
+    U, g = out
+    return U[:N, :d], g[:N, :d]
 
 
 def solve_mpc_boxqp_pallas(qp, x0s, u_lo: float, u_hi: float, iters: int = 40,

@@ -133,10 +133,11 @@ def solve_mpc_boxqp(
     H is shared; only g varies per scenario. Warm starts via U0 (shifted
     previous solution) cut iteration counts in receding-horizon use.
 
-    method="auto" picks the fused Pallas FISTA kernel on TPU backends (cold
-    start only — warm starts fall back to XLA FISTA) and XLA FISTA
-    elsewhere. Measured on v5e: Pallas 62 us / XLA 160 us per 4096-scenario
-    horizon-30 quadrotor batch.
+    method="auto" picks Pallas FISTA on TPU backends and XLA FISTA
+    elsewhere. Two Pallas variants: cold starts without x_ref use the fully
+    fused kernel (g formed in-kernel from x0); warm starts / x_ref use the
+    two-step kernel (g materialized, U0 passed through). Measured on v5e:
+    Pallas 62 us / XLA 160 us per 4096-scenario horizon-30 quadrotor batch.
 
     Default precision policy: all but the last 12 FISTA iterations run the
     GEMM in bf16 (single-pass MXU), the fp32-highest tail contracts to the
@@ -152,17 +153,21 @@ def solve_mpc_boxqp(
         # buffers on-chip; beyond d~1024 fall back to the XLA scan.
         d = qp.H.shape[0]
         method = "pallas" if (on_tpu and d <= 1024) else "fista"
-    if method == "pallas" and x_ref is None and U0 is None and x0s.ndim == 2:
-        # fully fused path: g formed in-kernel from x0 (no materialized g)
+    # fully fused path needs the prediction matrices in VMEM too: bound both
+    # the control dim d and the stacked-state dim T*n.
+    tn = qp.Sx.shape[0]
+    if (method == "pallas" and x_ref is None and U0 is None and x0s.ndim == 2
+            and tn <= 1024):
+        # g formed in-kernel from x0 (no materialized g; g also emitted for
+        # the residual so it is never formed twice)
         from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas
 
-        U = fista_mpc_pallas(
+        U, g = fista_mpc_pallas(
             qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(u_lo),
             jnp.float32(u_hi), qp.lipschitz, iters=iters,
             coarse_iters=coarse_iters,
         )
         step = 1.0 / qp.lipschitz
-        g = gradient_offset(qp, x0s)
         grad = U @ qp.H.T + g
         resid = jnp.max(jnp.abs(U - jnp.clip(U - step * grad, u_lo, u_hi)))
         return BoxQPResult(U=U, iterations=jnp.asarray(iters), residual=resid)

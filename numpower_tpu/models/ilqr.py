@@ -171,10 +171,11 @@ def _ilqr_solve_batched_fused(
     N = x0s.shape[0]
     m = R.shape[0]
     T = horizon
-    us = (
-        us_init if us_init is not None
-        else jnp.zeros((N, T, m), dtype=x0s.dtype)
-    )
+    if us_init is None:
+        us = jnp.zeros((N, T, m), dtype=x0s.dtype)
+    else:
+        # accept the vmap backend's (T, m) shape too — broadcast per scenario
+        us = jnp.broadcast_to(us_init, (N, T, m)).astype(x0s.dtype)
     roll = jax.vmap(lambda x0, u: rollout_nonlinear(f, x0, u))
     xs = roll(x0s, us)
     cost_fn = jax.vmap(lambda x, u: _total_cost(x, u, Q, R, QF, x_goal))

@@ -37,12 +37,11 @@ def asarray(obj: Any, dtype=None) -> jax.Array:
     jnp.asarray is zero-copy for committed device arrays.
     """
     if dtype is None:
-        # Preserve floating dtype of jax/numpy inputs; default everything
-        # else (python lists, ints) to fp32 like the reference.
-        if isinstance(obj, (jax.Array, np.ndarray)) and jnp.issubdtype(
-            np.asarray(obj).dtype if isinstance(obj, np.ndarray) else obj.dtype,
-            jnp.floating,
-        ):
+        # Preserve the dtype of real array inputs (floating AND integer —
+        # index arrays from argsort/argmin must stay integral); only Python
+        # natives (lists, ints, floats) coerce to the fp32 default like the
+        # reference.
+        if isinstance(obj, (jax.Array, np.ndarray)):
             return jnp.asarray(obj)
         return jnp.asarray(obj, dtype=default_dtype())
     return jnp.asarray(obj, dtype=resolve_dtype(dtype))

@@ -21,7 +21,6 @@ as a runnable smoke test:
 
 import argparse
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -73,9 +72,16 @@ def main():
     with ScenarioStream(batch=local_n, shape=(12,), seed=jax.process_index(),
                         dist="normal", scale=0.3) as stream:
         x0s_local = next(stream)
-    # NOTE: on a real pod use jax.make_array_from_process_local_data for the
-    # host-local -> global sharded assembly; device_put suffices one-process.
-    x0s = shard_batch(jnp.asarray(x0s_local), mesh)
+    if jax.process_count() > 1:
+        # multi-host: assemble the global sharded array from per-process
+        # local slices (device_put cannot address other hosts' devices)
+        from numpower_tpu.parallel import data_sharding
+
+        x0s = jax.make_array_from_process_local_data(
+            data_sharding(mesh), x0s_local, (args.scenarios, 12)
+        )
+    else:
+        x0s = shard_batch(jnp.asarray(x0s_local), mesh)
 
     res = solve_mpc_boxqp_dp(qp, x0s, -1.0, 1.0, mesh, iters=40)
     mean_u = sweep_statistics_dp(

@@ -179,21 +179,19 @@ def test_ilqr_batched_fused_backend_matches_vmap():
 
 def test_fista_mpc_fused_g_matches_two_step(qp_and_g):
     from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas
-    from numpower_tpu.models import quadrotor12
 
-    A, B = quadrotor12(0.02)
-    Q = jnp.eye(12); R = jnp.eye(4) * 0.1; QF = jnp.eye(12) * 5.0
-    qp = condense(A, B, Q, R, QF, 10)
+    qp, g = qp_and_g
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(0.3 * rng.standard_normal((24, 12)).astype(np.float32))
-    g = gradient_offset(qp, x0s)
     U_ref = fista_boxqp_pallas(
         qp.H, g, jnp.float32(-0.5), jnp.float32(0.5), qp.lipschitz,
         iters=50, coarse_iters=0, tile_n=16, interpret=True,
     )
-    U_fused = fista_mpc_pallas(
+    U_fused, g_out = fista_mpc_pallas(
         qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(-0.5), jnp.float32(0.5),
         qp.lipschitz, iters=50, coarse_iters=0, tile_n=16, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(U_fused), np.asarray(U_ref),
                                rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g),
+                               rtol=1e-4, atol=1e-4)
