@@ -100,10 +100,19 @@ def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
         0.3 * np.random.default_rng(0).standard_normal((scenarios, n)), jnp.float32
     )
 
+    # bf16-coarse schedule needs concrete kappa — compute it here (host
+    # readback of two scalars; also warms the D2H channel) and pass it into
+    # the jitted body, where qp is traced and the default degrades to fp32.
+    from numpower_tpu.models.condensed import default_coarse_iters
+
+    ci = default_coarse_iters(qp, iters)
+    _log(f"[flagship] precision schedule: {ci} bf16 + {iters - ci} fp32 iters")
+
     # full solve (g formation + FISTA) per body call; i-dependent input
     # defeats loop-invariant hoisting
     def body(qp, x0s, i):
-        return solve_mpc_boxqp(qp, x0s + i * 1e-6, -1.0, 1.0, iters=iters).U[0, 0]
+        return solve_mpc_boxqp(qp, x0s + i * 1e-6, -1.0, 1.0, iters=iters,
+                               coarse_iters=ci).U[0, 0]
 
     per_batch = _device_time_per_call(body, (qp, x0s), K=32 if scenarios <= 512 else 64,
                                       reps=reps)
@@ -115,7 +124,8 @@ def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
 
     # latency config: small batch for the 10 ms real-time budget
     def body_small(qp, x0s, i):
-        return solve_mpc_boxqp(qp, x0s[:256] + i * 1e-6, -1.0, 1.0, iters=iters).U[0, 0]
+        return solve_mpc_boxqp(qp, x0s[:256] + i * 1e-6, -1.0, 1.0, iters=iters,
+                               coarse_iters=ci).U[0, 0]
 
     per_small = _device_time_per_call(body_small, (qp, x0s), K=256, reps=reps)
     _log(

@@ -233,10 +233,10 @@ def solve_mpc_boxqp_pallas(qp, x0s, u_lo: float, u_hi: float, iters: int = 40,
                            coarse_iters: Optional[int] = None):
     """Drop-in for models.boxqp.solve_mpc_boxqp using the fused kernel."""
     from numpower_tpu.models.boxqp import BoxQPResult
-    from numpower_tpu.models.condensed import gradient_offset
+    from numpower_tpu.models.condensed import default_coarse_iters, gradient_offset
 
     if coarse_iters is None:
-        coarse_iters = max(0, iters - 12)
+        coarse_iters = default_coarse_iters(qp, iters)
     g = gradient_offset(qp, x0s)
     U = fista_boxqp_pallas(
         qp.H, g, jnp.float32(u_lo), jnp.float32(u_hi), qp.lipschitz,

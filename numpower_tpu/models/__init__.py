@@ -2,7 +2,7 @@
 
 from numpower_tpu.models.plants import (  # noqa: F401
     LTIPlant, double_integrator, quadrotor12, cartpole_step, cartpole_params,
-    pendulum_step,
+    pendulum_step, unicycle_step, planar_quadrotor_step,
 )
 from numpower_tpu.models.rollout import (  # noqa: F401
     rollout_lti, rollout_ltv, rollout_nonlinear, batched_rollout_lti,
@@ -19,5 +19,14 @@ from numpower_tpu.models.boxqp import (  # noqa: F401
     BoxQPResult, solve_boxqp_pg, solve_boxqp_fista, solve_mpc_boxqp,
 )
 from numpower_tpu.models.ilqr import ILQRResult, ilqr_solve, ilqr_solve_batched  # noqa: F401
+from numpower_tpu.models.al_ilqr import (  # noqa: F401
+    ALILQRResult, al_ilqr_solve, al_ilqr_solve_batched,
+)
+from numpower_tpu.models.admm import (  # noqa: F401
+    ADMMResult, solve_boxqp_admm, solve_mpc_boxqp_admm,
+)
+from numpower_tpu.models.mppi import (  # noqa: F401
+    MPPIResult, mppi_solve, mppi_solve_batched, mppi_step, quadratic_mppi_cost,
+)
 from numpower_tpu.models.tube import TubeMPCResult, tube_mpc_solve  # noqa: F401
 from numpower_tpu.models.mpc import MPCController, MPCState  # noqa: F401

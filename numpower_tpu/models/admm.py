@@ -1,0 +1,118 @@
+"""ADMM box-QP solver (OSQP-style operator splitting).
+
+Complements the first-order FISTA solver (models/boxqp.py): ADMM's x-update
+is an EXACT linear solve against the prefactored matrix (H + rho I), so its
+convergence rate is condition-number independent — on stiff condensed QPs
+(long horizons, large Q/R spread) it reaches the 1e-4 parity bound in far
+fewer iterations than projected gradient.
+
+    x^{k+1} = (H + rho I)^{-1} (rho (z^k - y^k) - g)     [Cholesky solve]
+    z^{k+1} = clip(x^{k+1} + y^k, lo, hi)                [projection]
+    y^{k+1} = y^k + x^{k+1} - z^{k+1}                    [dual ascent]
+
+TPU-native structure:
+  - ONE Cholesky factorization of (H + rho I) shared across the whole
+    scenario batch and all iterations (H is scenario-independent for
+    condensed MPC; only g varies — models/condensed.py).
+  - the per-iteration core is a pair of (N, d) @ (d, d) triangular solves —
+    executed as dense GEMMs against the precomputed inverse factors, which
+    keeps the MXU busy instead of running sequential substitution.
+  - static iteration count, no data-dependent control flow (10 ms budget).
+
+Reference parity note: the reference offers no QP solver at all — users
+compose eager cholesky/solve per step (linalg.c:981-1102). Both residuals
+(primal ||x - z||_inf, dual rho*||z - z_prev||_inf) are returned for
+failure detection (SURVEY.md §5: solvers must report, never exit()).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from numpower_tpu.models.condensed import CondensedQP, gradient_offset
+
+
+class ADMMResult(NamedTuple):
+    U: jax.Array             # (N, d) or (d,) solutions (the feasible z iterate)
+    iterations: jax.Array    # scalar iterations executed
+    primal_residual: jax.Array  # max ||x - z||_inf across batch
+    dual_residual: jax.Array    # max rho*||z - z_prev||_inf across batch
+
+
+def solve_boxqp_admm(
+    H: jax.Array,
+    g: jax.Array,
+    lo,
+    hi,
+    rho: float = 1.0,
+    iters: int = 30,
+    U0: Optional[jax.Array] = None,
+    over_relax: float = 1.6,
+) -> ADMMResult:
+    """min 1/2 U'HU + g'U  s.t. lo <= U <= hi, via ADMM splitting.
+
+    g may be batched (N, d) — the factorization is shared, the solves are
+    batched GEMMs. over_relax in [1, 1.8] is the standard alpha relaxation
+    (1.6 default per the OSQP recommendation).
+    """
+    batched = g.ndim == 2
+    d = H.shape[0]
+    dt = g.dtype
+    M = H + rho * jnp.eye(d, dtype=dt)
+    L = jnp.linalg.cholesky(M)
+    # Precompute the dense inverse once: two triangular solves against I.
+    # d <= ~1k for MPC-condensed QPs, so the d^3 is trivial next to the
+    # iters x (N, d, d) GEMM stream, and GEMM >> sequential trsm on the MXU.
+    Linv = jax.scipy.linalg.solve_triangular(L, jnp.eye(d, dtype=dt), lower=True)
+    Minv = Linv.T @ Linv
+
+    z0 = jnp.clip(jnp.zeros_like(g) if U0 is None else U0, lo, hi)
+    y0 = jnp.zeros_like(g)
+
+    def body(carry, _):
+        z, y = carry
+        rhs = rho * (z - y) - g
+        x = rhs @ Minv.T if batched else Minv @ rhs
+        x_r = over_relax * x + (1.0 - over_relax) * z
+        z_new = jnp.clip(x_r + y, lo, hi)
+        y_new = y + x_r - z_new
+        return (z_new, y_new), None
+
+    (z, y), _ = lax.scan(body, (z0, y0), None, length=iters)
+    # one extra x-update to measure residuals at the final iterate
+    rhs = rho * (z - y) - g
+    x = rhs @ Minv.T if batched else Minv @ rhs
+    r_prim = jnp.max(jnp.abs(x - z))
+    z_next = jnp.clip(over_relax * x + (1.0 - over_relax) * z + y, lo, hi)
+    r_dual = rho * jnp.max(jnp.abs(z_next - z))
+    return ADMMResult(
+        U=z,
+        iterations=jnp.asarray(iters),
+        primal_residual=r_prim,
+        dual_residual=r_dual,
+    )
+
+
+def solve_mpc_boxqp_admm(
+    qp: CondensedQP,
+    x0s: jax.Array,
+    u_lo: float,
+    u_hi: float,
+    x_ref: Optional[jax.Array] = None,
+    rho: Optional[float] = None,
+    iters: int = 30,
+    U0: Optional[jax.Array] = None,
+) -> ADMMResult:
+    """Batched-scenario condensed-MPC solve via ADMM (drop-in alternative to
+    models/boxqp.solve_mpc_boxqp). rho defaults to sqrt(lam_min*lam_max) ~
+    sqrt(lipschitz * reg floor), the classic geometric-mean heuristic."""
+    g = gradient_offset(qp, x0s, x_ref)
+    if rho is None:
+        # geometric mean of the extreme eigenvalue bounds — the classic
+        # condition-balanced ADMM penalty (qp.mu = lam_min(R) <= lam_min(H))
+        rho = jnp.sqrt(qp.lipschitz * jnp.maximum(qp.mu, 1e-12))
+    return solve_boxqp_admm(qp.H, g, u_lo, u_hi, rho=rho, iters=iters, U0=U0)

@@ -21,7 +21,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from numpower_tpu.models.condensed import CondensedQP, gradient_offset
+from numpower_tpu.models.condensed import (
+    CondensedQP, default_coarse_iters, gradient_offset,
+)
 
 
 class BoxQPResult(NamedTuple):
@@ -139,14 +141,17 @@ def solve_mpc_boxqp(
     two-step kernel (g materialized, U0 passed through). Measured on v5e:
     Pallas 62 us / XLA 160 us per 4096-scenario horizon-30 quadrotor batch.
 
-    Default precision policy: all but the last 12 FISTA iterations run the
-    GEMM in bf16 (single-pass MXU), the fp32-highest tail contracts to the
-    fp32 fixed point. Measured deviation vs an fp64 reference: ~6e-6 on the
-    quadrotor flagship — 17x inside the 1e-4 parity budget — at ~6x the
-    throughput of all-fp32. Pass coarse_iters=0 to force all-fp32.
+    Default precision policy: leading FISTA iterations run the GEMM in bf16
+    (single-pass MXU); an fp32-highest tail of ceil(6.5 sqrt(kappa))
+    iterations (kappa = qp.lipschitz/qp.mu, see condensed.default_coarse_iters)
+    contracts to the fp32 fixed point. Measured deviation vs an fp64
+    reference: ~6e-6 on the quadrotor flagship (kappa~3.6, tail 13) at ~6x
+    the throughput of all-fp32; ~1e-5 at kappa=37. Pass coarse_iters=0 to
+    force all-fp32. Inside jit (traced qp) the default degrades to all-fp32
+    — pass coarse_iters explicitly there.
     """
     if coarse_iters is None:
-        coarse_iters = max(0, iters - 12)
+        coarse_iters = default_coarse_iters(qp, iters)
     if method == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
         # VMEM envelope: the fused kernel holds H (d_pad^2 fp32) + 4 tile

@@ -43,6 +43,7 @@ class CondensedQP:
     Su: jax.Array
     SuTQ: jax.Array
     lipschitz: jax.Array  # largest eigenvalue of H (PG step size 1/L)
+    mu: jax.Array  # strong-convexity lower bound: lam_min(R) <= lam_min(H)
     T: int = flax.struct.field(pytree_node=False)
     n: int = flax.struct.field(pytree_node=False)
     m: int = flax.struct.field(pytree_node=False)
@@ -99,7 +100,35 @@ def condense(A, B, Q, R, QF, horizon: int) -> CondensedQP:
     H = SuTQ @ Su + Rbar
     H = 0.5 * (H + H.T)
     lmax = _power_iteration_lmax(H)
-    return CondensedQP(H=H, Sx=Sx, Su=Su, SuTQ=SuTQ, T=T, n=n, m=m, lipschitz=lmax)
+    # H = Su' Qbar Su + Rbar >= Rbar, so lam_min(H) >= lam_min(R): a cheap,
+    # usually-tight strong-convexity bound (m is tiny, eigvalsh is free).
+    # Consumers use lipschitz/mu as the condition-number bound to size the
+    # fp32 tail of mixed-precision solves and the ADMM penalty rho.
+    mu = jnp.linalg.eigvalsh(0.5 * (R + R.T))[0].astype(H.dtype)
+    return CondensedQP(H=H, Sx=Sx, Su=Su, SuTQ=SuTQ, T=T, n=n, m=m,
+                       lipschitz=lmax, mu=mu)
+
+
+def default_coarse_iters(qp: CondensedQP, iters: int) -> int:
+    """Static bf16-coarse iteration count for mixed-precision FISTA.
+
+    The fp32 tail must contract the bf16 fixed-point offset (~bf16_eps *
+    kappa relative) below the 1e-4 parity bound; with restart-FISTA's linear
+    rate (1 - 1/sqrt(kappa)) that takes O(sqrt(kappa)) iterations. Empirical
+    calibration (tests/test_solvers_extra.py): tail = ceil(6.5 sqrt(kappa))
+    gives ~1e-5 error at kappa=37 and reduces to the long-validated 12-13
+    iteration tail on the well-conditioned flagship QP (kappa~3.6).
+
+    Needs CONCRETE lipschitz/mu (trip counts are static). When qp is a jit
+    tracer, falls back to an all-fp32 schedule (coarse=0) — callers inside
+    jit should pass coarse_iters explicitly to keep the bf16 speedup.
+    """
+    try:
+        kappa = max(float(qp.lipschitz) / max(float(qp.mu), 1e-12), 1.0)
+    except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError, TypeError):
+        return 0
+    tail = max(12, int(jnp.ceil(6.5 * jnp.sqrt(kappa))))
+    return max(0, iters - tail)
 
 
 def gradient_offset(qp: CondensedQP, x0, x_ref: Optional[jax.Array] = None):

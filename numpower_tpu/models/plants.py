@@ -116,3 +116,31 @@ def pendulum_step(x, u, g=9.81, l=1.0, m=1.0, dt=0.05):
     th, w = x[0], x[1]
     w2 = w + (-(g / l) * jnp.sin(th) + u[0] / (m * l * l)) * dt
     return jnp.stack([th + w2 * dt, w2])
+
+
+def unicycle_step(x, u, dt=0.1):
+    """Unicycle / differential-drive kinematics (nonholonomic — exercises
+    solvers on a plant where linearization loses controllability at rest).
+    State [px, py, heading]; input [forward speed, turn rate]."""
+    px, py, th = x[0], x[1], x[2]
+    v, w = u[0], u[1]
+    return jnp.stack([
+        px + v * jnp.cos(th) * dt,
+        py + v * jnp.sin(th) * dt,
+        th + w * dt,
+    ])
+
+
+def planar_quadrotor_step(x, u, m=1.0, l=0.3, inertia=0.1, g=9.81, dt=0.05):
+    """Planar quadrotor (2-D VTOL): 6-state, 2 thrust inputs. The classic
+    underactuated benchmark between cartpole (4) and quadrotor12.
+    State [px, pz, phi, vx, vz, phi_dot]; input [f1, f2] rotor thrusts."""
+    px, pz, phi, vx, vz, w = x[0], x[1], x[2], x[3], x[4], x[5]
+    f1, f2 = u[0], u[1]
+    ft = f1 + f2
+    ax = -ft * jnp.sin(phi) / m
+    az = ft * jnp.cos(phi) / m - g
+    aphi = l * (f1 - f2) / inertia
+    vx2, vz2, w2 = vx + ax * dt, vz + az * dt, w + aphi * dt
+    return jnp.stack([px + vx2 * dt, pz + vz2 * dt, phi + w2 * dt,
+                      vx2, vz2, w2])

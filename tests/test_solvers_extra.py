@@ -1,0 +1,301 @@
+"""Tests for the extended solver families: ADMM box-QP, AL-iLQR, MPPI,
+plus the unicycle / planar-quadrotor plants.
+
+Same parity strategy as test_mpc.py: each solver is checked against an
+independent fp64 numpy implementation or a previously-validated solver on
+the identical problem (BASELINE.md <=1e-4 ambition, relaxed per-solver to
+its convergence tolerance).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from numpower_tpu.models import (
+    al_ilqr_solve, al_ilqr_solve_batched, cartpole_step, condense,
+    double_integrator, gradient_offset, ilqr_solve, mppi_solve,
+    mppi_solve_batched, mppi_step, pendulum_step, planar_quadrotor_step,
+    quadratic_mppi_cost, quadrotor12, rollout_nonlinear, solve_boxqp_admm,
+    solve_boxqp_fista, solve_mpc_boxqp, solve_mpc_boxqp_admm, unicycle_step,
+)
+
+
+@pytest.fixture(scope="module")
+def di():
+    return double_integrator(0.1)
+
+
+@pytest.fixture(scope="module")
+def quad():
+    return quadrotor12(0.02)
+
+
+# ---------------------------------------------------------------- plants
+
+def test_unicycle_step_kinematics():
+    x = jnp.array([0.0, 0.0, 0.0])
+    u = jnp.array([1.0, 0.0])
+    x1 = np.asarray(unicycle_step(x, u, dt=0.1))
+    np.testing.assert_allclose(x1, [0.1, 0.0, 0.0], atol=1e-6)
+    # pure rotation does not translate
+    x2 = np.asarray(unicycle_step(x, jnp.array([0.0, 1.0]), dt=0.1))
+    np.testing.assert_allclose(x2, [0.0, 0.0, 0.1], atol=1e-6)
+
+
+def test_planar_quadrotor_hover_equilibrium():
+    # total thrust m*g split evenly => zero acceleration: state is fixed
+    m, g = 1.0, 9.81
+    x = jnp.zeros(6)
+    u = jnp.array([m * g / 2, m * g / 2])
+    x1 = np.asarray(planar_quadrotor_step(x, u, m=m, g=g, dt=0.05))
+    np.testing.assert_allclose(x1, np.zeros(6), atol=1e-6)
+    # thrust imbalance induces rotation
+    x2 = np.asarray(planar_quadrotor_step(x, jnp.array([m * g / 2 + 0.1,
+                                                        m * g / 2 - 0.1])))
+    assert abs(x2[5]) > 0.0  # nonzero phi_dot
+
+
+# ---------------------------------------------------------------- ADMM
+
+def _np_boxqp_exact(H, g, lo, hi, iters=20000):
+    H = np.asarray(H, np.float64); g = np.asarray(g, np.float64)
+    L = np.linalg.eigvalsh(H).max()
+    U = np.zeros_like(g)
+    for _ in range(iters):
+        U = np.clip(U - (1.0 / L) * (U @ H.T + g), lo, hi)
+    return U
+
+
+def test_admm_unconstrained_matches_linear_solve(di):
+    A, B = di
+    qp = condense(A, B, jnp.eye(2), jnp.eye(1) * 0.1, jnp.eye(2) * 10.0, 10)
+    x0s = jnp.array([[0.3, -0.2]])
+    g = gradient_offset(qp, x0s)
+    res = solve_boxqp_admm(qp.H, g, -1e6, 1e6, rho=float(jnp.sqrt(qp.lipschitz)),
+                           iters=200)
+    U_ref = -np.linalg.solve(np.asarray(qp.H, np.float64),
+                             np.asarray(g[0], np.float64))
+    np.testing.assert_allclose(np.asarray(res.U[0]), U_ref, rtol=1e-3, atol=1e-4)
+    assert float(res.primal_residual) < 1e-3
+
+
+def test_admm_constrained_parity_vs_fp64(quad):
+    A, B = quad
+    qp = condense(A, B, jnp.eye(12), jnp.eye(4) * 0.1, jnp.eye(12) * 5.0, 10)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.standard_normal((4, 12)).astype(np.float32))
+    res = solve_mpc_boxqp_admm(qp, x0s, -0.5, 0.5, iters=250)
+    for i in range(4):
+        g_i = np.asarray(gradient_offset(qp, x0s)[i])
+        U_ref = _np_boxqp_exact(qp.H, g_i, -0.5, 0.5)
+        np.testing.assert_allclose(np.asarray(res.U[i]), U_ref,
+                                   rtol=2e-3, atol=5e-4)
+    # z iterate is feasible by construction
+    assert float(jnp.max(jnp.abs(res.U))) <= 0.5 + 1e-6
+
+
+def test_admm_agrees_with_fista(quad):
+    A, B = quad
+    qp = condense(A, B, jnp.eye(12), jnp.eye(4) * 0.1, jnp.eye(12) * 5.0, 20)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(0.3 * rng.standard_normal((8, 12)).astype(np.float32))
+    r_admm = solve_mpc_boxqp_admm(qp, x0s, -1.0, 1.0, iters=200)
+    r_fista = solve_mpc_boxqp(qp, x0s, -1.0, 1.0, iters=300)
+    np.testing.assert_allclose(np.asarray(r_admm.U), np.asarray(r_fista.U),
+                               rtol=3e-3, atol=1e-3)
+
+
+def test_admm_jit_and_residual_reporting(di):
+    A, B = di
+    qp = condense(A, B, jnp.eye(2), jnp.eye(1) * 0.1, jnp.eye(2) * 10.0, 15)
+    x0s = jnp.array([[1.0, 0.0], [0.0, -1.0]])
+
+    @jax.jit
+    def run(H, g):
+        return solve_boxqp_admm(H, g, -0.4, 0.4, rho=2.0, iters=100)
+
+    res = run(qp.H, gradient_offset(qp, x0s))
+    assert res.U.shape == (2, 15)
+    assert np.isfinite(float(res.primal_residual))
+    assert np.isfinite(float(res.dual_residual))
+
+
+def test_mixed_precision_tail_scales_with_conditioning(di):
+    """Regression: the bf16-coarse default must hold the 1e-4 parity bound
+    on ILL-conditioned QPs too (kappa~37 here vs ~3.6 on the flagship).
+    A fixed 12-iteration fp32 tail leaves ~2.3e-3 error on this problem."""
+    from numpower_tpu.models.condensed import default_coarse_iters
+
+    A, B = di
+    qp = condense(A, B, jnp.eye(2), jnp.eye(1) * 0.1, jnp.eye(2) * 10.0, 15)
+    # mu bound is tight: lam_min(H) ~= 0.1025, lam_min(R) = 0.1
+    lam_min = np.linalg.eigvalsh(np.asarray(qp.H, np.float64)).min()
+    assert 0.0 < float(qp.mu) <= lam_min + 1e-6
+    x0s = jnp.array([[1.0, 0.0], [-0.5, 0.3]])
+    res = solve_mpc_boxqp(qp, x0s, -0.5, 0.5, iters=300)  # default schedule
+    U_ref = np.stack([
+        _np_boxqp_exact(qp.H, np.asarray(gradient_offset(qp, x0s))[i], -0.5, 0.5)
+        for i in range(2)
+    ])
+    err = np.abs(np.asarray(res.U) - U_ref).max()
+    assert err < 1e-4, f"mixed-precision error {err:.2e} exceeds parity bound"
+    # schedule actually used bf16 for the bulk of iterations
+    ci = default_coarse_iters(qp, 300)
+    assert 200 < ci < 300
+    # under jit (traced qp) the default must not crash — degrades to fp32
+    U_jit = jax.jit(lambda q, x: solve_mpc_boxqp(q, x, -0.5, 0.5, iters=60).U)(qp, x0s)
+    assert np.all(np.isfinite(np.asarray(U_jit)))
+
+
+# ---------------------------------------------------------------- AL-iLQR
+
+def test_al_ilqr_loose_bounds_matches_ilqr():
+    """With bounds far outside the active region, AL-iLQR == plain iLQR."""
+    x0 = jnp.array([0.0, 0.3, 0.0, 0.0])
+    x_goal = jnp.zeros(4)
+    Q = jnp.eye(4); R = jnp.eye(1) * 0.1; QF = jnp.eye(4) * 10.0
+    r_un = ilqr_solve(cartpole_step, x0, Q, R, QF, x_goal, horizon=40, iters=20)
+    r_al = al_ilqr_solve(cartpole_step, x0, Q, R, QF, x_goal, horizon=40,
+                         u_lo=-100.0, u_hi=100.0, al_iters=3, ilqr_iters=10)
+    np.testing.assert_allclose(float(r_al.cost), float(r_un.cost), rtol=2e-2)
+    assert float(r_al.max_violation) == 0.0
+
+
+def test_al_ilqr_respects_bounds_pendulum():
+    # underactuated swingup: unconstrained iLQR uses |u| >> 1; with the box
+    # the solver must find a feasible (pump-up) plan
+    x0 = jnp.array([jnp.pi, 0.0])
+    x_goal = jnp.zeros(2)
+    Q = jnp.diag(jnp.array([1.0, 0.1]))
+    R = jnp.eye(1) * 0.01
+    QF = jnp.diag(jnp.array([100.0, 10.0]))
+    res = al_ilqr_solve(pendulum_step, x0, Q, R, QF, x_goal, horizon=80,
+                        u_lo=-2.0, u_hi=2.0, al_iters=6, ilqr_iters=10)
+    assert float(jnp.max(jnp.abs(res.us))) <= 2.0 + 1e-6  # strictly feasible
+    # cost improves over the zero-control plan
+    xs0 = rollout_nonlinear(pendulum_step, x0, jnp.zeros((80, 1)))
+    from numpower_tpu.models.ilqr import _total_cost
+    cost0 = float(_total_cost(xs0, jnp.zeros((80, 1)), Q, R, QF, x_goal))
+    assert float(res.cost) < cost0
+    # NOTE: true cost may RISE across AL outer iterations as feasibility
+    # tightens (early iterates exploit box violations) — only check finiteness
+    assert np.all(np.isfinite(np.asarray(res.costs)))
+
+
+def test_al_ilqr_matches_boxqp_on_lti(di):
+    """On an LTI plant AL-iLQR must agree with the condensed box-QP optimum
+    (two completely different algorithms, same convex problem)."""
+    A, B = di
+    Q = jnp.eye(2); R = jnp.eye(1) * 0.1; QF = jnp.eye(2) * 10.0
+    T = 12
+    x0 = jnp.array([1.5, 0.0])
+    lo, hi = -0.6, 0.6
+
+    f = lambda x, u: A @ x + B @ u
+    r_al = al_ilqr_solve(f, x0, Q, R, QF, jnp.zeros(2), horizon=T,
+                         u_lo=lo, u_hi=hi, al_iters=8, ilqr_iters=10,
+                         mu0=1.0, mu_scale=10.0)
+    qp = condense(A, B, Q, R, QF, T)
+    g = gradient_offset(qp, x0[None])
+    U_ref = _np_boxqp_exact(qp.H, np.asarray(g[0]), lo, hi)
+    np.testing.assert_allclose(np.asarray(r_al.us).reshape(-1), U_ref,
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_al_ilqr_batched(di):
+    A, B = di
+    f = lambda x, u: A @ x + B @ u
+    x0s = jnp.array([[1.0, 0.0], [-0.5, 0.2], [0.0, 1.0]])
+    res = al_ilqr_solve_batched(
+        f, x0s, jnp.eye(2), jnp.eye(1) * 0.1, jnp.eye(2) * 10.0,
+        jnp.zeros(2), 10, -0.5, 0.5, al_iters=4, ilqr_iters=6)
+    assert res.us.shape == (3, 10, 1)
+    assert float(jnp.max(jnp.abs(res.us))) <= 0.5 + 1e-6
+    # scenario 0 equals the single solve
+    r0 = al_ilqr_solve(f, x0s[0], jnp.eye(2), jnp.eye(1) * 0.1,
+                       jnp.eye(2) * 10.0, jnp.zeros(2), 10, -0.5, 0.5,
+                       al_iters=4, ilqr_iters=6)
+    np.testing.assert_allclose(np.asarray(res.us[0]), np.asarray(r0.us),
+                               rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- MPPI
+
+def test_mppi_improves_pendulum_swingup():
+    x0 = jnp.array([jnp.pi, 0.0])
+    Q = jnp.diag(jnp.array([1.0, 0.1]))
+    R = jnp.eye(1) * 0.01
+    QF = jnp.diag(jnp.array([100.0, 10.0]))
+    cost_fn = quadratic_mppi_cost(Q, R, QF, jnp.zeros(2))
+    key = jax.random.key(0)
+    res = mppi_solve(pendulum_step, x0, cost_fn, horizon=60, key=key,
+                     samples=512, iters=12, lam=2.0, sigma=1.5, m=1)
+    # baseline: zero-control cost
+    xs0 = rollout_nonlinear(pendulum_step, x0, jnp.zeros((60, 1)))
+    from numpower_tpu.models.mppi import _trajectory_cost
+    cost0 = float(_trajectory_cost(cost_fn, xs0, jnp.zeros((60, 1))))
+    assert float(res.cost) < 0.8 * cost0
+    assert 1.0 <= float(res.ess) <= 512.0
+
+
+def test_mppi_respects_box():
+    x0 = jnp.array([jnp.pi, 0.0])
+    cost_fn = quadratic_mppi_cost(jnp.eye(2), jnp.eye(1) * 0.01,
+                                  jnp.eye(2) * 50.0, jnp.zeros(2))
+    res = mppi_solve(pendulum_step, x0, cost_fn, horizon=40,
+                     key=jax.random.key(1), samples=256, iters=6,
+                     sigma=1.0, m=1, u_lo=-2.0, u_hi=2.0)
+    assert float(jnp.max(jnp.abs(res.us))) <= 2.0 + 1e-6
+
+
+def test_mppi_reproducible_and_jittable():
+    x0 = jnp.array([0.5, 0.0])
+    cost_fn = quadratic_mppi_cost(jnp.eye(2), jnp.eye(1) * 0.1,
+                                  jnp.eye(2) * 10.0, jnp.zeros(2))
+
+    @jax.jit
+    def run(x0, key):
+        return mppi_solve(pendulum_step, x0, cost_fn, horizon=30, key=key,
+                          samples=128, iters=4, m=1).us
+
+    u1 = run(x0, jax.random.key(7))
+    u2 = run(x0, jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    u3 = run(x0, jax.random.key(8))
+    assert not np.allclose(np.asarray(u1), np.asarray(u3))
+
+
+def test_mppi_batched_scenarios():
+    cost_fn = quadratic_mppi_cost(jnp.eye(2), jnp.eye(1) * 0.1,
+                                  jnp.eye(2) * 10.0, jnp.zeros(2))
+    x0s = jnp.array([[0.5, 0.0], [jnp.pi / 2, 0.0]])
+    res = mppi_solve_batched(pendulum_step, x0s, cost_fn, 30,
+                             jax.random.key(2), samples=128, iters=4, m=1)
+    assert res.us.shape == (2, 30, 1)
+    assert res.xs.shape == (2, 31, 2)
+    assert res.cost.shape == (2,)
+
+
+def test_mppi_step_receding_horizon():
+    cost_fn = quadratic_mppi_cost(jnp.eye(2), jnp.eye(1) * 0.1,
+                                  jnp.eye(2) * 10.0, jnp.zeros(2))
+    us_prev = jnp.zeros((20, 1))
+    u0, res = mppi_step(pendulum_step, us_prev, jnp.array([0.3, 0.0]),
+                        cost_fn, jax.random.key(3), samples=128, iters=3)
+    assert u0.shape == (1,)
+    assert res.us.shape == (20, 1)
+
+
+def test_mppi_unicycle_reaches_goal():
+    """Nonholonomic plant end-to-end: drive the unicycle toward a waypoint."""
+    x0 = jnp.array([0.0, 0.0, 0.0])
+    goal = jnp.array([1.0, 1.0, 0.0])
+    Q = jnp.diag(jnp.array([1.0, 1.0, 0.0]))
+    QF = jnp.diag(jnp.array([50.0, 50.0, 0.0]))
+    cost_fn = quadratic_mppi_cost(Q, jnp.eye(2) * 0.01, QF, goal)
+    res = mppi_solve(unicycle_step, x0, cost_fn, horizon=30,
+                     key=jax.random.key(4), samples=512, iters=15,
+                     lam=0.5, sigma=1.0, m=2)
+    final = np.asarray(res.xs[-1])
+    assert np.linalg.norm(final[:2] - np.array([1.0, 1.0])) < 0.3
