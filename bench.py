@@ -236,6 +236,77 @@ def bench_ilqr(reps: int):
     )
 
 
+def bench_solvers_extra(scenarios: int, horizon: int, iters: int, reps: int):
+    """Beyond-reference solver families: ADMM condensed QP, AL-iLQR, MPPI."""
+    import jax
+    import jax.numpy as jnp
+
+    from numpower_tpu.models import (
+        al_ilqr_solve_batched, condense, mppi_solve_batched, pendulum_step,
+        quadratic_mppi_cost, quadrotor12, solve_mpc_boxqp_admm,
+    )
+
+    # ADMM on the flagship condensed QP (exact-solve splitting: the
+    # per-iteration core is the same (N, d) @ (d, d) GEMM as FISTA)
+    A, B = quadrotor12(0.02)
+    Q = np.eye(12, dtype=np.float32)
+    R = np.eye(4, dtype=np.float32) * 0.1
+    QF = np.eye(12, dtype=np.float32) * 5.0
+    qp = jax.jit(condense, static_argnums=5)(A, B, Q, R, QF, horizon)
+    x0s = jnp.asarray(
+        0.3 * np.random.default_rng(7).standard_normal((scenarios, 12)), jnp.float32
+    )
+    t = _device_time_per_call(
+        lambda qp, xs, i: solve_mpc_boxqp_admm(
+            qp, xs + i * 1e-6, -1.0, 1.0, iters=iters
+        ).U[0, 0],
+        (qp, x0s), K=32, reps=reps,
+    )
+    _log(
+        f"[admm]  quadrotor h={horizon} N={scenarios} iters={iters}: "
+        f"{t*1e6:.1f} us/batch -> {scenarios/t:,.0f} solves/s/chip"
+    )
+
+    # AL-iLQR: constrained nonlinear swingup, batched scenarios
+    N_al = min(scenarios // 16, 256)
+    Qp = jnp.diag(jnp.array([1.0, 0.1]))
+    Rp = jnp.eye(1) * 0.01
+    QFp = jnp.diag(jnp.array([100.0, 10.0]))
+    x0s_p = jnp.asarray(
+        np.random.default_rng(8).uniform(-np.pi, np.pi, (N_al, 2)), jnp.float32
+    )
+    backend = "fused" if jax.default_backend() in ("tpu", "axon") else "vmap"
+    t = _device_time_per_call(
+        lambda xs, i: jnp.sum(al_ilqr_solve_batched(
+            pendulum_step, xs + i * 1e-6, Qp, Rp, QFp, jnp.zeros(2),
+            40, -2.0, 2.0, al_iters=4, ilqr_iters=6, backend=backend,
+        ).cost),
+        (x0s_p,), K=4, reps=max(2, reps // 3),
+    )
+    _log(
+        f"[al-ilqr] {N_al}-scenario pendulum (h=40, 4x6 iters, box +-2, "
+        f"{backend} backward): {t*1e3:.2f} ms/batch -> {N_al/t:,.0f} solves/s"
+    )
+
+    # MPPI: N scenarios x K samples fused rollouts
+    N_mp, K_mp = min(scenarios // 16, 256), 256
+    cost_fn = quadratic_mppi_cost(Qp, Rp, QFp, jnp.zeros(2))
+    key = jax.random.key(0)
+    t = _device_time_per_call(
+        lambda xs, k, i: jnp.sum(mppi_solve_batched(
+            pendulum_step, xs + i * 1e-6, cost_fn, 40, k,
+            samples=K_mp, iters=8, m=1,
+        ).cost),
+        (x0s_p[:N_mp], key), K=4, reps=max(2, reps // 3),
+    )
+    rollouts = N_mp * K_mp * 8
+    _log(
+        f"[mppi]  {N_mp}-scenario x {K_mp}-sample pendulum (h=40, 8 updates): "
+        f"{t*1e3:.2f} ms/batch -> {N_mp/t:,.0f} solves/s "
+        f"({rollouts/t/1e6:.1f} M rollouts/s)"
+    )
+
+
 def bench_tube(scenarios: int, reps: int):
     """Config #5 (single-host slice): tube-MPC scenario sweep."""
     import jax
@@ -425,6 +496,7 @@ def main():
         bench_ilqr(reps)
         bench_tube(min(scenarios * 4, 16384) if not args.quick else 512, reps)
         bench_serving(scenarios, args.horizon, reps)
+        bench_solvers_extra(scenarios, args.horizon, args.iters, reps)
 
     if args.scaling:
         bench_scaling(scenarios, reps)

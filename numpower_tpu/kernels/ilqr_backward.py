@@ -34,9 +34,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _ilqr_bwd_kernel(a_cm_ref, b_cm_ref, lx_ref, lu_ref, lxx_ref, luu_ref,
-                     lxxT_ref, ks_ref, bigk_ref, vx_scr, vxx_scr, *, n: int,
-                     m: int, T: int):
+def _ilqr_bwd_kernel(a_cm_ref, b_cm_ref, lx_ref, lu_ref, luud_ref, lxx_ref,
+                     luu_ref, lxxT_ref, ks_ref, bigk_ref, vx_scr, vxx_scr, *,
+                     n: int, m: int, T: int):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -88,12 +88,17 @@ def _ilqr_bwd_kernel(a_cm_ref, b_cm_ref, lx_ref, lu_ref, lxx_ref, luu_ref,
                 v = dotn(ai, w_cm[k * n : (k + 1) * n], n) + lxx_s[i * n + k]
                 qxx[i * n + k] = v
                 qxx[k * n + i] = v
-        # Quu = luu + B'W2 (reg folded into luu by the wrapper)
+        # Quu = luu + diag(luu_d) + B'W2 (reg folded into luu by the wrapper;
+        # luu_d is the per-scenario/timestep diagonal stream — the AL-iLQR
+        # active-set penalty term, a lane vector like lu)
         quu = [None] * (m * m)
         for a in range(m):
             ba = b_cm[a * n : (a + 1) * n]
             for b in range(m):
-                quu[a * m + b] = dotn(ba, w2_cm[b * n : (b + 1) * n], n) + luu_s[a * m + b]
+                v = dotn(ba, w2_cm[b * n : (b + 1) * n], n) + luu_s[a * m + b]
+                if a == b:
+                    v = v + luud_ref[0, a, :]
+                quu[a * m + b] = v
         # Qux = B'W (m,n) stored cm: col_k = B' col_k(W)
         qux_cm = [None] * (n * m)
         for k in range(n):
@@ -128,18 +133,22 @@ def _ilqr_bwd_kernel(a_cm_ref, b_cm_ref, lx_ref, lu_ref, lxx_ref, luu_ref,
 @functools.partial(jax.jit, static_argnames=("reg", "tile_b", "interpret"))
 def ilqr_backward_fused(As, Bs, lxs, lus, lxx, luu, lxT, lxxT,
                         reg: float = 1e-3, tile_b: int = 512,
-                        interpret: bool = False):
+                        interpret: bool = False, luu_diags=None):
     """Batched iLQR backward pass.
 
     As (N,T,n,n), Bs (N,T,n,m): per-scenario/timestep linearizations;
     lxs (N,T,n), lus (N,T,m): affine stage-cost gradients; lxx (n,n),
     luu (m,m): shared stage-cost Hessians (2Q, 2R); lxT (N,n): terminal
     gradient (2 QF (x_T - goal)); lxxT (n,n): terminal Hessian (2 QF).
+    luu_diags (N,T,m), optional: per-scenario/timestep DIAGONAL addition to
+    luu — the AL-iLQR active-set penalty Hessian (models/al_ilqr._al_terms).
 
     Returns (ks (N,T,m), Ks (N,T,m,n)).
     """
     N, T, n, _ = As.shape
     m = Bs.shape[-1]
+    if luu_diags is None:
+        luu_diags = jnp.zeros((N, T, m), As.dtype)
     tile_b = min(tile_b, _round_up(N, 128))
     n_pad = _round_up(N, tile_b)
 
@@ -169,6 +178,11 @@ def ilqr_backward_fused(As, Bs, lxs, lus, lxx, luu, lxT, lxxT,
         [jnp.zeros((N, 1, m), lus.dtype), lu_rev], axis=1
     ).transpose(1, 2, 0).reshape(T + 1, m, N)
     lu_stream = pad(lu_stream.reshape((T + 1) * m, N)).reshape(T + 1, m, n_pad)
+    luud_rev = jnp.flip(luu_diags, axis=1)
+    luud_stream = jnp.concatenate(
+        [jnp.zeros((N, 1, m), luu_diags.dtype), luud_rev], axis=1
+    ).transpose(1, 2, 0).reshape(T + 1, m, N)
+    luud_stream = pad(luud_stream.reshape((T + 1) * m, N)).reshape(T + 1, m, n_pad)
 
     luu_reg = jnp.asarray(luu, jnp.float32) + reg * jnp.eye(m, dtype=jnp.float32)
 
@@ -180,6 +194,7 @@ def ilqr_backward_fused(As, Bs, lxs, lus, lxx, luu, lxT, lxxT,
             pl.BlockSpec((1, n * n, tile_b), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n * m, tile_b), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, tile_b), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, tile_b), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, tile_b), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -199,7 +214,7 @@ def ilqr_backward_fused(As, Bs, lxs, lus, lxx, luu, lxT, lxxT,
         ],
         interpret=interpret,
     )(
-        a_cm, b_cm, lx_stream, lu_stream,
+        a_cm, b_cm, lx_stream, lu_stream, luud_stream,
         jnp.asarray(lxx, jnp.float32).reshape(-1),
         luu_reg.reshape(-1),
         jnp.asarray(lxxT, jnp.float32).reshape(-1),

@@ -220,6 +220,64 @@ def test_al_ilqr_batched(di):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_al_ilqr_fused_matches_vmap():
+    """Fused-backward batched AL-iLQR (Pallas interpret mode on CPU) must
+    match the vmapped reference path on the same problems."""
+    from numpower_tpu.models.al_ilqr import _al_ilqr_solve_batched_fused
+
+    Q = jnp.diag(jnp.array([1.0, 0.1]))
+    R = jnp.eye(1) * 0.01
+    QF = jnp.diag(jnp.array([100.0, 10.0]))
+    x0s = jnp.array([[jnp.pi, 0.0], [1.0, 0.5], [-0.7, 0.0], [2.0, -1.0]])
+    kw = dict(al_iters=3, ilqr_iters=5, mu0=1.0, mu_scale=8.0)
+    r_v = al_ilqr_solve_batched(pendulum_step, x0s, Q, R, QF, jnp.zeros(2),
+                                30, -2.0, 2.0, **kw)
+    r_f = _al_ilqr_solve_batched_fused(pendulum_step, x0s, Q, R, QF,
+                                       jnp.zeros(2), 30, -2.0, 2.0,
+                                       interpret=True, **kw)
+    assert r_f.us.shape == r_v.us.shape == (4, 30, 1)
+    assert r_f.costs.shape == r_v.costs.shape == (4, 3)
+    np.testing.assert_allclose(np.asarray(r_f.cost), np.asarray(r_v.cost),
+                               rtol=2e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r_f.us), np.asarray(r_v.us),
+                               rtol=5e-3, atol=5e-3)
+    assert float(jnp.max(jnp.abs(r_f.us))) <= 2.0 + 1e-6
+
+
+def test_ilqr_backward_fused_luu_diags_parity():
+    """The per-timestep diagonal luu stream must equal adding diag(luu_pen)
+    to a dense luu in the XLA backward pass."""
+    from numpower_tpu.kernels.ilqr_backward import ilqr_backward_fused
+    from numpower_tpu.models.al_ilqr import _backward_pass_al
+
+    rng = np.random.default_rng(11)
+    N, T, n, m = 3, 8, 4, 2
+    As = jnp.asarray(np.eye(n, dtype=np.float32)
+                     + 0.05 * rng.standard_normal((N, T, n, n)).astype(np.float32))
+    Bs = jnp.asarray(0.3 * rng.standard_normal((N, T, n, m)).astype(np.float32))
+    xs = jnp.asarray(rng.standard_normal((N, T + 1, n)).astype(np.float32))
+    us = jnp.asarray(rng.standard_normal((N, T, m)).astype(np.float32))
+    lu_pen = jnp.asarray(rng.standard_normal((N, T, m)).astype(np.float32))
+    luu_pen = jnp.asarray(rng.uniform(0.0, 2.0, (N, T, m)).astype(np.float32))
+    Q = jnp.eye(n); R = jnp.eye(m) * 0.1; QF = jnp.eye(n) * 5.0
+    goal = jnp.zeros(n)
+    reg = 1e-3
+
+    lxs = 2.0 * (xs[:, :T] - goal) @ Q.T
+    lus = 2.0 * us @ R.T + lu_pen
+    lxT = 2.0 * (xs[:, T] - goal) @ QF.T
+    ks_f, Ks_f = ilqr_backward_fused(As, Bs, lxs, lus, 2.0 * Q, 2.0 * R,
+                                     lxT, 2.0 * QF, reg=reg, interpret=True,
+                                     luu_diags=luu_pen)
+    for i in range(N):
+        ks_r, Ks_r = _backward_pass_al(As[i], Bs[i], xs[i], us[i], Q, R, QF,
+                                       goal, reg, lu_pen[i], luu_pen[i])
+        np.testing.assert_allclose(np.asarray(ks_f[i]), np.asarray(ks_r),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Ks_f[i]), np.asarray(Ks_r),
+                                   rtol=2e-4, atol=2e-4)
+
+
 # ---------------------------------------------------------------- MPPI
 
 def test_mppi_improves_pendulum_swingup():
