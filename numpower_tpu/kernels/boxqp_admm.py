@@ -1,0 +1,148 @@
+"""Fused ADMM box-QP Pallas TPU kernel.
+
+Same speed-of-light argument as kernels/boxqp_fista.py: the ADMM iteration
+
+    x   = (rho (z - y) - g) @ Minv'          [one MXU GEMM]
+    x_r = alpha x + (1 - alpha) z            [over-relaxation]
+    z   = clip(x_r + y, lo, hi)              [projection]
+    y   = y + x_r - z                        [dual ascent]
+
+is one (tile, d) @ (d, d) GEMM plus VPU elementwise work. The XLA scan
+version re-reads z/y/g (~2 MB each at N=4096, d=120) from HBM every
+iteration; here Minv (d^2 fp32, ~57 KB for the flagship) stays VMEM-resident
+and the (z, y) carries live on-chip, so per tile the only HBM traffic is one
+read of g and one write of z.
+
+Minv = (H + rho I)^{-1} is formed ONCE outside the kernel (d x d Cholesky +
+two triangular solves — trivial next to the iters x N x d^2 GEMM stream) and
+shared across every scenario and iteration: the exact-solve x-update is what
+makes ADMM's rate condition-number independent (models/admm.py docstring).
+
+Same mixed-precision policy as the FISTA kernel: the first `coarse_iters`
+GEMMs run single-pass bf16 on the MXU (precision=DEFAULT on fp32 operands —
+Mosaic rejects explicit bf16 operands), the fp32-highest tail contracts to
+the fp32 fixed point. ADMM contracts at a condition-independent rate, so a
+short fixed tail suffices on any conditioning (validated in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _admm_kernel(minvT_ref, g_ref, params_ref, z0_ref, out_ref, y_out_ref, *,
+                 iters: int, coarse_iters: int):
+    """One grid step = one scenario tile. MinvT (d_pad, d_pad) VMEM-resident;
+    carries (z, y) live in VMEM/registers; fully unrolled static loop.
+    Emits both z (the feasible solution) and the scaled dual y so the wrapper
+    can form the exact primal/dual residuals."""
+    rho = params_ref[0]
+    lo = params_ref[1]
+    hi = params_ref[2]
+    alpha = params_ref[3]
+    g = g_ref[:]
+    minvT = minvT_ref[:]
+    z = z0_ref[:]
+    y = jnp.zeros_like(z)
+    for k in range(iters):
+        precision = (
+            lax.Precision.DEFAULT if k < coarse_iters else lax.Precision.HIGHEST
+        )
+        rhs = rho * (z - y) - g
+        x = jnp.dot(rhs, minvT, precision=precision,
+                    preferred_element_type=jnp.float32)
+        x_r = alpha * x + (1.0 - alpha) * z
+        z = jnp.clip(x_r + y, lo, hi)
+        y = y + x_r - z
+    out_ref[:] = z
+    y_out_ref[:] = y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "coarse_iters", "tile_n", "interpret")
+)
+def admm_boxqp_pallas(
+    H: jax.Array,          # (d, d) symmetric PD
+    g: jax.Array,          # (N, d) per-scenario linear terms
+    lo: jax.Array,
+    hi: jax.Array,
+    rho: jax.Array,        # scalar ADMM penalty
+    iters: int = 30,
+    coarse_iters: int = 0,
+    over_relax: float = 1.6,
+    tile_n: int = 1024,
+    interpret: bool = False,
+    U0: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Batched ADMM box-QP solve: argmin_U 1/2 U'HU + g_i'U, lo<=U<=hi.
+
+    Returns (z, y): the feasible iterate and scaled dual, both (N, d).
+    Zero-pads d to the 128-lane boundary and N to the tile. Padded Minv
+    rows/cols are zero, so padded columns never couple into real ones
+    (padded z/y columns evolve as clip-of-garbage but are sliced away).
+    U0 warm-starts z (clipped).
+    """
+    N, d = g.shape
+    d_pad = _round_up(d, 128)
+    tile_n = min(tile_n, _round_up(N, 8))
+    n_pad = _round_up(N, tile_n)
+    dt = g.dtype
+
+    M = H + rho * jnp.eye(d, dtype=H.dtype)
+    L = jnp.linalg.cholesky(M)
+    Linv = jax.scipy.linalg.solve_triangular(L, jnp.eye(d, dtype=H.dtype),
+                                             lower=True)
+    Minv = Linv.T @ Linv
+
+    minvT = jnp.zeros((d_pad, d_pad), dt).at[:d, :d].set(Minv.T)
+    g_p = jnp.zeros((n_pad, d_pad), dt).at[:N, :d].set(g)
+    z0 = jnp.zeros((n_pad, d_pad), dt)
+    if U0 is not None:
+        z0 = z0.at[:N, :d].set(jnp.clip(U0, lo, hi))
+    params = jnp.stack([
+        jnp.asarray(rho, jnp.float32),
+        jnp.asarray(lo, jnp.float32),
+        jnp.asarray(hi, jnp.float32),
+        jnp.asarray(over_relax, jnp.float32),
+    ])
+
+    kernel = functools.partial(
+        _admm_kernel, iters=iters, coarse_iters=min(coarse_iters, iters)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, d_pad), dt),
+            jax.ShapeDtypeStruct((n_pad, d_pad), dt),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * d_pad * d_pad * iters,
+            bytes_accessed=(d_pad * d_pad + 4 * n_pad * d_pad) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(minvT, g_p, params, z0)
+    z, y = out
+    return z[:N, :d], y[:N, :d]

@@ -106,13 +106,52 @@ def solve_mpc_boxqp_admm(
     rho: Optional[float] = None,
     iters: int = 30,
     U0: Optional[jax.Array] = None,
+    method: str = "auto",
+    coarse_iters: Optional[int] = None,
 ) -> ADMMResult:
     """Batched-scenario condensed-MPC solve via ADMM (drop-in alternative to
     models/boxqp.solve_mpc_boxqp). rho defaults to sqrt(lam_min*lam_max) ~
-    sqrt(lipschitz * reg floor), the classic geometric-mean heuristic."""
+    sqrt(lipschitz * reg floor), the classic geometric-mean heuristic.
+
+    method="auto" picks the fused Pallas kernel (kernels/boxqp_admm.py:
+    VMEM-resident Minv, on-chip iteration loop) on TPU backends for
+    d <= 1024, the XLA scan elsewhere. On the Pallas path coarse_iters
+    defaults to iters - 12: leading x-update GEMMs run single-pass bf16 and
+    the fp32 tail contracts the perturbation below 1e-6 — measured 6e-7 vs
+    all-fp32 on the flagship AND on kappa=37 QPs (the exact-solve iteration
+    map is strongly contractive regardless of conditioning, unlike first-
+    order FISTA which needs the kappa-scaled tail). Measured v5e: 50.3M
+    solves/s vs 20.4M all-fp32 vs 16.2M XLA. Pass coarse_iters=0 to force
+    all-fp32."""
     g = gradient_offset(qp, x0s, x_ref)
     if rho is None:
         # geometric mean of the extreme eigenvalue bounds — the classic
         # condition-balanced ADMM penalty (qp.mu = lam_min(R) <= lam_min(H))
         rho = jnp.sqrt(qp.lipschitz * jnp.maximum(qp.mu, 1e-12))
+    d = qp.H.shape[0]
+    if method == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        method = "pallas" if (on_tpu and d <= 1024 and g.ndim == 2) else "xla"
+    if method == "pallas":
+        from numpower_tpu.kernels.boxqp_admm import admm_boxqp_pallas
+
+        if coarse_iters is None:
+            coarse_iters = max(0, iters - 12)
+        z, y = admm_boxqp_pallas(qp.H, g, jnp.float32(u_lo), jnp.float32(u_hi),
+                                 rho, iters=iters, coarse_iters=coarse_iters,
+                                 U0=U0)
+        # exact residuals via one XLA x-update at the final (z, y) — the
+        # d^3 refactor is trivial next to the kernel's iters x N x d^2 GEMMs
+        dt = g.dtype
+        M = qp.H + rho * jnp.eye(d, dtype=dt)
+        L = jnp.linalg.cholesky(M)
+        Linv = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(d, dtype=dt), lower=True)
+        Minv = Linv.T @ Linv
+        x = (rho * (z - y) - g) @ Minv.T
+        r_prim = jnp.max(jnp.abs(x - z))
+        z_next = jnp.clip(x + y, u_lo, u_hi)
+        r_dual = rho * jnp.max(jnp.abs(z_next - z))
+        return ADMMResult(U=z, iterations=jnp.asarray(iters),
+                          primal_residual=r_prim, dual_residual=r_dual)
     return solve_boxqp_admm(qp.H, g, u_lo, u_hi, rho=rho, iters=iters, U0=U0)

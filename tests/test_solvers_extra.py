@@ -150,6 +150,53 @@ def test_mixed_precision_tail_scales_with_conditioning(di):
 
 # ---------------------------------------------------------------- AL-iLQR
 
+def test_admm_pallas_kernel_matches_xla(quad):
+    """Fused Pallas ADMM (interpret mode on CPU) must match the XLA scan
+    solver iterate-for-iterate (same algorithm, same static schedule)."""
+    from numpower_tpu.kernels.boxqp_admm import admm_boxqp_pallas
+
+    A, B = quad
+    qp = condense(A, B, jnp.eye(12), jnp.eye(4) * 0.1, jnp.eye(12) * 5.0, 10)
+    rng = np.random.default_rng(13)
+    x0s = jnp.asarray(rng.standard_normal((6, 12)).astype(np.float32))
+    g = gradient_offset(qp, x0s)
+    rho = jnp.sqrt(qp.lipschitz * qp.mu)
+    z, y = admm_boxqp_pallas(qp.H, g, jnp.float32(-0.5), jnp.float32(0.5),
+                             rho, iters=60, tile_n=8, interpret=True)
+    ref = solve_boxqp_admm(qp.H, g, -0.5, 0.5, rho=rho, iters=60)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref.U),
+                               rtol=1e-4, atol=1e-5)
+    # dual output consistency: exact residuals recomputed from (z, y) match
+    # the ground-truth optimum within solver tolerance
+    U_ref = np.stack([_np_boxqp_exact(qp.H, np.asarray(g)[i], -0.5, 0.5)
+                      for i in range(6)])
+    np.testing.assert_allclose(np.asarray(z), U_ref, rtol=2e-3, atol=5e-4)
+    # warm start path
+    z2, _ = admm_boxqp_pallas(qp.H, g, jnp.float32(-0.5), jnp.float32(0.5),
+                              rho, iters=30, tile_n=8, interpret=True, U0=z)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_admm_pallas_bf16_coarse_holds_parity(quad):
+    """bf16-coarse x-updates + fp32 tail must still meet the parity bound."""
+    from numpower_tpu.kernels.boxqp_admm import admm_boxqp_pallas
+
+    A, B = quad
+    qp = condense(A, B, jnp.eye(12), jnp.eye(4) * 0.1, jnp.eye(12) * 5.0, 10)
+    rng = np.random.default_rng(14)
+    x0s = jnp.asarray(rng.standard_normal((4, 12)).astype(np.float32))
+    g = gradient_offset(qp, x0s)
+    rho = jnp.sqrt(qp.lipschitz * qp.mu)
+    z_fp, _ = admm_boxqp_pallas(qp.H, g, jnp.float32(-0.5), jnp.float32(0.5),
+                                rho, iters=60, tile_n=8, interpret=True)
+    z_bf, _ = admm_boxqp_pallas(qp.H, g, jnp.float32(-0.5), jnp.float32(0.5),
+                                rho, iters=60, coarse_iters=45, tile_n=8,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(z_bf), np.asarray(z_fp),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_al_ilqr_loose_bounds_matches_ilqr():
     """With bounds far outside the active region, AL-iLQR == plain iLQR."""
     x0 = jnp.array([0.0, 0.3, 0.0, 0.0])
