@@ -23,7 +23,8 @@ from numpower_tpu.models.al_ilqr import (  # noqa: F401
     ALILQRResult, al_ilqr_solve, al_ilqr_solve_batched,
 )
 from numpower_tpu.models.admm import (  # noqa: F401
-    ADMMResult, solve_boxqp_admm, solve_mpc_boxqp_admm,
+    ADMMResult, OSQPResult, solve_boxqp_admm, solve_mpc_boxqp_admm,
+    solve_qp_osqp, solve_mpc_state_constrained,
 )
 from numpower_tpu.models.mppi import (  # noqa: F401
     MPPIResult, mppi_solve, mppi_solve_batched, mppi_step, quadratic_mppi_cost,

@@ -155,3 +155,114 @@ def solve_mpc_boxqp_admm(
         return ADMMResult(U=z, iterations=jnp.asarray(iters),
                           primal_residual=r_prim, dual_residual=r_dual)
     return solve_boxqp_admm(qp.H, g, u_lo, u_hi, rho=rho, iters=iters, U0=U0)
+
+
+class OSQPResult(NamedTuple):
+    U: jax.Array             # (N, d) primal solutions
+    Z: jax.Array             # (N, m_c) constraint-space iterate (feasible)
+    iterations: jax.Array
+    primal_residual: jax.Array  # max ||A x - z||_inf across batch
+    dual_residual: jax.Array    # max ||H x + g + A'y||_inf (stationarity)
+
+
+def solve_qp_osqp(
+    H: jax.Array,
+    g: jax.Array,
+    A: jax.Array,
+    l,
+    u,
+    rho: float = 1.0,
+    sigma: float = 1e-6,
+    iters: int = 50,
+    over_relax: float = 1.6,
+) -> OSQPResult:
+    """General-constraint QP via the OSQP splitting:
+
+        min 1/2 U'HU + g'U   s.t.  l <= A U <= u
+
+    x-update solves (H + sigma I + rho A'A) x = sigma x - g + A'(rho z - y)
+    — ONE dense factorization shared across the batch and all iterations;
+    per iteration the core is three MXU GEMMs ((N,d)@(d,d), (N,d)@(d,m_c),
+    (N,m_c)@(m_c,d)). z projects onto [l, u] in constraint space; y is the
+    constraint-space dual. l/u/g may all be batched (N, .) — for condensed
+    MPC the STATE bounds shift per scenario (x_lo - Sx x0 <= Su U), so
+    per-scenario l/u is the common case (solve_mpc_state_constrained).
+
+    This is the capability the box-only solvers lack: state constraints,
+    terminal sets, rate limits — any polytope expressible as rows of A.
+    Reference parity: nothing comparable exists (SURVEY.md §2.3 — users get
+    only clip); this composes the same cholesky/solve/clip op surface into
+    the full OSQP method.
+    """
+    batched = g.ndim == 2
+    d = H.shape[0]
+    mc = A.shape[0]
+    dt = g.dtype
+    K = H + sigma * jnp.eye(d, dtype=dt) + rho * (A.T @ A)
+    Lc = jnp.linalg.cholesky(0.5 * (K + K.T))
+    Linv = jax.scipy.linalg.solve_triangular(Lc, jnp.eye(d, dtype=dt), lower=True)
+    Kinv = Linv.T @ Linv
+
+    shape_z = g.shape[:-1] + (mc,)
+    z0 = jnp.clip(jnp.zeros(shape_z, dt), l, u)
+    y0 = jnp.zeros(shape_z, dt)
+    x0 = jnp.zeros_like(g)
+
+    def mm(M, v):
+        # v @ M.T for batched (N, .), M @ v for single vectors
+        return v @ M.T if batched else M @ v
+
+    def body(carry, _):
+        x, z, y = carry
+        rhs = sigma * x - g + mm(A.T, rho * z - y)
+        x_new = mm(Kinv, rhs)
+        ax = mm(A, x_new)
+        ax_r = over_relax * ax + (1.0 - over_relax) * z
+        z_new = jnp.clip(ax_r + y / rho, l, u)
+        y_new = y + rho * (ax_r - z_new)
+        return (x_new, z_new, y_new), None
+
+    (x, z, y), _ = lax.scan(body, (x0, z0, y0), None, length=iters)
+    r_prim = jnp.max(jnp.abs(mm(A, x) - z))
+    r_dual = jnp.max(jnp.abs(mm(H, x) + g + mm(A.T, y)))
+    return OSQPResult(U=x, Z=z, iterations=jnp.asarray(iters),
+                      primal_residual=r_prim, dual_residual=r_dual)
+
+
+def solve_mpc_state_constrained(
+    qp: CondensedQP,
+    x0s: jax.Array,
+    u_lo: float,
+    u_hi: float,
+    x_lo,
+    x_hi,
+    x_ref: Optional[jax.Array] = None,
+    rho: Optional[float] = None,
+    iters: int = 60,
+) -> OSQPResult:
+    """Condensed MPC with BOTH control and state box constraints:
+
+        u_lo <= u_t <= u_hi,   x_lo <= x_t <= x_hi  (t = 1..T)
+
+    Stacked as l <= [I; Su] U <= u with the state rows shifted per scenario
+    by Sx x0 (X = Sx x0 + Su U). x_lo/x_hi may be scalars or (n,) per-state
+    vectors. Returns the OSQP iterate; check primal_residual before trusting
+    tight state constraints (they can be infeasible for aggressive x0)."""
+    g = gradient_offset(qp, x0s, x_ref)
+    if rho is None:
+        rho = jnp.sqrt(qp.lipschitz * jnp.maximum(qp.mu, 1e-12))
+    d = qp.H.shape[0]
+    A = jnp.concatenate([jnp.eye(d, dtype=qp.H.dtype), qp.Su], axis=0)
+    batched = x0s.ndim == 2
+    sx_x0 = x0s @ qp.Sx.T if batched else qp.Sx @ x0s  # (N, Tn)
+    tn = qp.Sx.shape[0]
+    xl = jnp.broadcast_to(jnp.asarray(x_lo, qp.H.dtype), (qp.n,))
+    xh = jnp.broadcast_to(jnp.asarray(x_hi, qp.H.dtype), (qp.n,))
+    xl_stack = jnp.tile(xl, qp.T)
+    xh_stack = jnp.tile(xh, qp.T)
+    shape_u = g.shape[:-1] + (d,)
+    l = jnp.concatenate(
+        [jnp.full(shape_u, u_lo, qp.H.dtype), xl_stack - sx_x0], axis=-1)
+    u = jnp.concatenate(
+        [jnp.full(shape_u, u_hi, qp.H.dtype), xh_stack - sx_x0], axis=-1)
+    return solve_qp_osqp(qp.H, g, A, l, u, rho=rho, iters=iters)

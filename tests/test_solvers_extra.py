@@ -150,6 +150,86 @@ def test_mixed_precision_tail_scales_with_conditioning(di):
 
 # ---------------------------------------------------------------- AL-iLQR
 
+def _np_osqp_exact(H, g, A, l, u, rho=1.0, sigma=1e-6, iters=20000,
+                   alpha=1.6):
+    """fp64 OSQP reference run to convergence — ground truth for general
+    l <= A U <= u constraints."""
+    H = np.asarray(H, np.float64); g = np.asarray(g, np.float64)
+    A = np.asarray(A, np.float64)
+    l = np.asarray(l, np.float64); u = np.asarray(u, np.float64)
+    d = H.shape[0]
+    K = np.linalg.inv(H + sigma * np.eye(d) + rho * A.T @ A)
+    x = np.zeros(d); z = np.clip(np.zeros(A.shape[0]), l, u); y = np.zeros_like(z)
+    for _ in range(iters):
+        x = K @ (sigma * x - g + A.T @ (rho * z - y))
+        ax = A @ x
+        ax_r = alpha * ax + (1 - alpha) * z
+        z = np.clip(ax_r + y / rho, l, u)
+        y = y + rho * (ax_r - z)
+    return x
+
+
+def test_osqp_matches_box_admm_when_states_loose(di):
+    """With state bounds at infinity the OSQP solver must reduce to the
+    control-box ADMM optimum."""
+    from numpower_tpu.models import solve_mpc_state_constrained
+
+    A, B = di
+    qp = condense(A, B, jnp.eye(2), jnp.eye(1) * 0.1, jnp.eye(2) * 10.0, 12)
+    x0s = jnp.array([[1.2, 0.0], [-0.4, 0.5]])
+    r_box = solve_mpc_boxqp_admm(qp, x0s, -0.5, 0.5, iters=200)
+    r_osqp = solve_mpc_state_constrained(qp, x0s, -0.5, 0.5, -1e6, 1e6,
+                                         iters=400)
+    np.testing.assert_allclose(np.asarray(r_osqp.U), np.asarray(r_box.U),
+                               rtol=2e-3, atol=5e-4)
+    assert float(r_osqp.primal_residual) < 1e-3
+
+
+def test_osqp_parity_vs_fp64(quad):
+    from numpower_tpu.models import solve_qp_osqp
+
+    A, B = quad
+    qp = condense(A, B, jnp.eye(12), jnp.eye(4) * 0.1, jnp.eye(12) * 5.0, 8)
+    rng = np.random.default_rng(21)
+    x0s = jnp.asarray(0.5 * rng.standard_normal((3, 12)).astype(np.float32))
+    g = gradient_offset(qp, x0s)
+    d = qp.H.shape[0]
+    Ac = jnp.concatenate([jnp.eye(d), qp.Su], axis=0)
+    sx = np.asarray(x0s @ qp.Sx.T)
+    l = np.concatenate([np.full((3, d), -0.6, np.float32), -2.0 - sx], axis=1)
+    u = np.concatenate([np.full((3, d), 0.6, np.float32), 2.0 - sx], axis=1)
+    res = solve_qp_osqp(qp.H, g, Ac, jnp.asarray(l), jnp.asarray(u),
+                        rho=1.0, iters=800)
+    for i in range(3):
+        U_ref = _np_osqp_exact(qp.H, np.asarray(g)[i], Ac, l[i], u[i], rho=1.0)
+        np.testing.assert_allclose(np.asarray(res.U[i]), U_ref,
+                                   rtol=3e-3, atol=3e-3)
+
+
+def test_state_constraints_actually_bind(di):
+    """Drive the double integrator from a large offset with a velocity cap:
+    the unconstrained solution exceeds the cap, the constrained one must not."""
+    from numpower_tpu.models import solve_mpc_state_constrained
+    from numpower_tpu.models import rollout_lti
+
+    A, B = di
+    qp = condense(A, B, jnp.diag(jnp.array([10.0, 0.1])), jnp.eye(1) * 0.01,
+                  jnp.eye(2) * 20.0, 20)
+    x0 = jnp.array([[3.0, 0.0]])
+    v_cap = 0.8
+    r_un = solve_mpc_boxqp_admm(qp, x0, -50.0, 50.0, iters=200)
+    r_c = solve_mpc_state_constrained(qp, x0, -50.0, 50.0,
+                                      jnp.array([-10.0, -v_cap]),
+                                      jnp.array([10.0, v_cap]), iters=600)
+    xs_un = np.asarray(rollout_lti(A, B, x0[0], r_un.U[0].reshape(20, 1)))
+    xs_c = np.asarray(rollout_lti(A, B, x0[0], r_c.U[0].reshape(20, 1)))
+    assert np.abs(xs_un[1:, 1]).max() > v_cap + 0.1  # unconstrained violates
+    assert np.abs(xs_c[1:, 1]).max() <= v_cap + 0.02  # constrained respects
+    assert float(r_c.primal_residual) < 5e-3
+    # still makes progress toward the origin
+    assert abs(xs_c[-1, 0]) < abs(float(x0[0, 0]))
+
+
 def test_admm_pallas_kernel_matches_xla(quad):
     """Fused Pallas ADMM (interpret mode on CPU) must match the XLA scan
     solver iterate-for-iterate (same algorithm, same static schedule)."""
