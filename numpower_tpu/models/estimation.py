@@ -1,0 +1,182 @@
+"""State estimation: Kalman filter / RTS smoother / EKF.
+
+The estimation side of the MPC loop (measure -> estimate -> solve -> act).
+Composes exactly the reference user's op surface — matmul, cholesky, solve,
+transpose (linalg.c:981-1102, SURVEY.md §2.3) — into scan-structured
+estimators the reference's eager dispatch could never run at scale:
+
+  - the whole filter/smoother over a horizon is ONE lax.scan (jit-compiled,
+    static shapes), not T eager solves
+  - batched over N independent trajectories with vmap (scenario axis =
+    BASELINE's scaling dimension)
+  - innovations are whitened with a Cholesky solve (no explicit inverse);
+    covariances are symmetrized each step to hold fp32 PSD-ness
+  - log-likelihood accumulates in the scan carry for system-ID / tuning
+
+EKF reuses models/rollout.linearize (jacfwd) per step, keeping the nonlinear
+plant API identical to the iLQR/MPPI solvers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from numpower_tpu.models.rollout import linearize
+
+
+class KalmanResult(NamedTuple):
+    means: jax.Array        # (T, n) filtered means x_{t|t}
+    covs: jax.Array         # (T, n, n) filtered covariances P_{t|t}
+    pred_means: jax.Array   # (T, n) one-step predictions x_{t|t-1}
+    pred_covs: jax.Array    # (T, n, n) prediction covariances P_{t|t-1}
+    log_likelihood: jax.Array  # scalar sum of innovation log-densities
+
+
+class SmootherResult(NamedTuple):
+    means: jax.Array  # (T, n) smoothed means x_{t|T}
+    covs: jax.Array   # (T, n, n) smoothed covariances
+
+
+def _filter_step(A, C, Q, R, x, P, y, u_term):
+    """One predict+update. Returns (x_f, P_f, x_p, P_p, ll)."""
+    n = x.shape[0]
+    # predict
+    x_p = A @ x + u_term
+    P_p = A @ P @ A.T + Q
+    P_p = 0.5 * (P_p + P_p.T)
+    # update (innovation form, Cholesky-whitened)
+    v = y - C @ x_p
+    S = C @ P_p @ C.T + R
+    S = 0.5 * (S + S.T)
+    L = jnp.linalg.cholesky(S)
+    # K = P_p C' S^{-1}  via two triangular solves
+    CP = C @ P_p                                   # (p, n)
+    W = jax.scipy.linalg.cho_solve((L, True), CP)  # S^{-1} C P_p  (p, n)
+    x_f = x_p + W.T @ v
+    P_f = P_p - W.T @ CP
+    P_f = 0.5 * (P_f + P_f.T)
+    # innovation log-density: -1/2 (v'S^-1 v + log det S + p log 2pi)
+    alpha = jax.scipy.linalg.solve_triangular(L, v, lower=True)
+    p = y.shape[0]
+    ll = -0.5 * (alpha @ alpha + p * jnp.log(2.0 * jnp.pi)) - jnp.sum(
+        jnp.log(jnp.diagonal(L)))
+    return x_f, P_f, x_p, P_p, ll
+
+
+def kalman_filter(
+    A: jax.Array,        # (n, n) transition
+    C: jax.Array,        # (p, n) observation
+    Q: jax.Array,        # (n, n) process noise cov
+    R: jax.Array,        # (p, p) measurement noise cov
+    x0: jax.Array,       # (n,) prior mean
+    P0: jax.Array,       # (n, n) prior cov
+    ys: jax.Array,       # (T, p) measurements
+    B: Optional[jax.Array] = None,   # (n, m) input matrix
+    us: Optional[jax.Array] = None,  # (T, m) known inputs
+) -> KalmanResult:
+    """LTI Kalman filter over the horizon as one scan; jit/vmap-compatible.
+
+    vmap over (x0, ys[, us]) for batched trajectories
+    (kalman_filter_batched)."""
+    T = ys.shape[0]
+    if us is None:
+        u_terms = jnp.zeros((T, x0.shape[0]), x0.dtype)
+    else:
+        u_terms = us @ B.T
+
+    def step(carry, inputs):
+        x, P, ll = carry
+        y, u_term = inputs
+        x_f, P_f, x_p, P_p, l = _filter_step(A, C, Q, R, x, P, y, u_term)
+        return (x_f, P_f, ll + l), (x_f, P_f, x_p, P_p)
+
+    (_, _, ll), (xs_f, Ps_f, xs_p, Ps_p) = lax.scan(
+        step, (x0, P0, jnp.asarray(0.0, x0.dtype)), (ys, u_terms))
+    return KalmanResult(means=xs_f, covs=Ps_f, pred_means=xs_p,
+                        pred_covs=Ps_p, log_likelihood=ll)
+
+
+def kalman_filter_batched(A, C, Q, R, x0s, P0, yss, B=None, uss=None
+                          ) -> KalmanResult:
+    """vmap over trajectories: x0s (N, n), yss (N, T, p), uss (N, T, m)."""
+    if uss is None:
+        return jax.vmap(
+            lambda x0, ys: kalman_filter(A, C, Q, R, x0, P0, ys)
+        )(x0s, yss)
+    return jax.vmap(
+        lambda x0, ys, us: kalman_filter(A, C, Q, R, x0, P0, ys, B=B, us=us)
+    )(x0s, yss, uss)
+
+
+def kalman_smoother(A: jax.Array, filt: KalmanResult) -> SmootherResult:
+    """RTS (Rauch-Tung-Striebel) backward smoother over the filter output —
+    one reverse scan; gain G = P_f A' P_p^{-1} via a PSD Cholesky solve."""
+    xs_f, Ps_f = filt.means, filt.covs
+    xs_p, Ps_p = filt.pred_means, filt.pred_covs
+
+    def step(carry, inputs):
+        x_s, P_s = carry
+        x_f, P_f, x_p_next, P_p_next = inputs
+        L = jnp.linalg.cholesky(P_p_next)
+        # G = P_f A' P_p^{-1}  ->  G' = P_p^{-1} (A P_f)
+        G_T = jax.scipy.linalg.cho_solve((L, True), A @ P_f)
+        x_new = x_f + G_T.T @ (x_s - x_p_next)
+        P_new = P_f + G_T.T @ (P_s - P_p_next) @ G_T
+        P_new = 0.5 * (P_new + P_new.T)
+        return (x_new, P_new), (x_new, P_new)
+
+    # iterate t = T-2 .. 0, conditioning on step t+1's prediction
+    init = (xs_f[-1], Ps_f[-1])
+    _, (xs_rev, Ps_rev) = lax.scan(
+        step, init,
+        (xs_f[:-1][::-1], Ps_f[:-1][::-1], xs_p[1:][::-1], Ps_p[1:][::-1]))
+    xs_s = jnp.concatenate([jnp.flip(xs_rev, 0), xs_f[-1][None]], axis=0)
+    Ps_s = jnp.concatenate([jnp.flip(Ps_rev, 0), Ps_f[-1][None]], axis=0)
+    return SmootherResult(means=xs_s, covs=Ps_s)
+
+
+def ekf_filter(
+    f: Callable,         # f(x, u) -> x_next  (pure jax plant, same API as iLQR)
+    h: Callable,         # h(x) -> y          (measurement model)
+    Q: jax.Array,
+    R: jax.Array,
+    x0: jax.Array,
+    P0: jax.Array,
+    ys: jax.Array,       # (T, p)
+    us: jax.Array,       # (T, m)
+) -> KalmanResult:
+    """Extended Kalman filter: per-step jacfwd linearization of f and h
+    (models/rollout.linearize — the same Jacobian machinery the iLQR solvers
+    use), then the standard predict/update. One scan, jit/vmap-compatible."""
+
+    def step(carry, inputs):
+        x, P, ll = carry
+        y, u = inputs
+        A, _ = linearize(f, x, u)
+        x_p = f(x, u)
+        P_p = A @ P @ A.T + Q
+        P_p = 0.5 * (P_p + P_p.T)
+        C = jax.jacfwd(h)(x_p)
+        v = y - h(x_p)
+        S = C @ P_p @ C.T + R
+        S = 0.5 * (S + S.T)
+        L = jnp.linalg.cholesky(S)
+        CP = C @ P_p
+        W = jax.scipy.linalg.cho_solve((L, True), CP)
+        x_f = x_p + W.T @ v
+        P_f = P_p - W.T @ CP
+        P_f = 0.5 * (P_f + P_f.T)
+        alpha = jax.scipy.linalg.solve_triangular(L, v, lower=True)
+        p = y.shape[0]
+        l = -0.5 * (alpha @ alpha + p * jnp.log(2.0 * jnp.pi)) - jnp.sum(
+            jnp.log(jnp.diagonal(L)))
+        return (x_f, P_f, ll + l), (x_f, P_f, x_p, P_p)
+
+    (_, _, ll), (xs_f, Ps_f, xs_p, Ps_p) = lax.scan(
+        step, (x0, P0, jnp.asarray(0.0, x0.dtype)), (ys, us))
+    return KalmanResult(means=xs_f, covs=Ps_f, pred_means=xs_p,
+                        pred_covs=Ps_p, log_likelihood=ll)

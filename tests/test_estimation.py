@@ -1,0 +1,176 @@
+"""Kalman filter / RTS smoother / EKF tests.
+
+Parity strategy (test_mpc.py pattern): each estimator is checked against an
+independent fp64 numpy implementation of the same recursions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from numpower_tpu.models import (
+    double_integrator, ekf_filter, kalman_filter, kalman_filter_batched,
+    kalman_smoother, pendulum_step, rollout_nonlinear,
+)
+
+
+def np_kalman(A, C, Q, R, x0, P0, ys, u_terms=None):
+    A, C, Q, R, P = [np.asarray(M, np.float64) for M in (A, C, Q, R, P0)]
+    x = np.asarray(x0, np.float64)
+    ys = np.asarray(ys, np.float64)
+    T = ys.shape[0]
+    if u_terms is None:
+        u_terms = np.zeros((T, x.shape[0]))
+    xs_f, Ps_f, xs_p, Ps_p = [], [], [], []
+    ll = 0.0
+    for t in range(T):
+        x = A @ x + u_terms[t]
+        P = A @ P @ A.T + Q
+        S = C @ P @ C.T + R
+        v = ys[t] - C @ x
+        K = P @ C.T @ np.linalg.inv(S)
+        xs_p.append(x.copy()); Ps_p.append(P.copy())
+        x = x + K @ v
+        P = P - K @ C @ P
+        xs_f.append(x.copy()); Ps_f.append(P.copy())
+        ll += -0.5 * (v @ np.linalg.solve(S, v)
+                      + np.log(np.linalg.det(S))
+                      + len(v) * np.log(2 * np.pi))
+    return (np.array(xs_f), np.array(Ps_f), np.array(xs_p), np.array(Ps_p), ll)
+
+
+def np_rts(A, xs_f, Ps_f, xs_p, Ps_p):
+    A = np.asarray(A, np.float64)
+    T = xs_f.shape[0]
+    xs_s = xs_f.copy(); Ps_s = Ps_f.copy()
+    for t in range(T - 2, -1, -1):
+        G = Ps_f[t] @ A.T @ np.linalg.inv(Ps_p[t + 1])
+        xs_s[t] = xs_f[t] + G @ (xs_s[t + 1] - xs_p[t + 1])
+        Ps_s[t] = Ps_f[t] + G @ (Ps_s[t + 1] - Ps_p[t + 1]) @ G.T
+    return xs_s, Ps_s
+
+
+@pytest.fixture(scope="module")
+def lti_data():
+    A, B = double_integrator(0.1)
+    C = jnp.array([[1.0, 0.0]])  # position-only measurement
+    Q = jnp.eye(2) * 1e-3
+    R = jnp.eye(1) * 1e-2
+    rng = np.random.default_rng(0)
+    T = 50
+    x = np.array([1.0, 0.0])
+    xs, ys = [], []
+    An, Bn = np.asarray(A, np.float64), np.asarray(B, np.float64)
+    for _ in range(T):
+        x = An @ x + rng.multivariate_normal(np.zeros(2), np.asarray(Q))
+        ys.append(x[0] + rng.normal(0, 0.1))
+        xs.append(x.copy())
+    return A, B, C, Q, R, np.array(xs), jnp.asarray(
+        np.array(ys, np.float32).reshape(T, 1))
+
+
+def test_kalman_filter_matches_fp64(lti_data):
+    A, B, C, Q, R, xs_true, ys = lti_data
+    x0 = jnp.array([1.0, 0.0]); P0 = jnp.eye(2) * 0.1
+    res = kalman_filter(A, C, Q, R, x0, P0, ys)
+    xs_ref, Ps_ref, xs_p_ref, Ps_p_ref, ll_ref = np_kalman(
+        A, C, Q, R, x0, P0, ys)
+    np.testing.assert_allclose(np.asarray(res.means), xs_ref, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.covs), Ps_ref, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.pred_means), xs_p_ref,
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(res.log_likelihood), ll_ref, rtol=1e-3)
+    # tracks the true state better than raw measurements track position
+    err_filt = np.abs(np.asarray(res.means)[:, 0] - xs_true[:, 0]).mean()
+    err_meas = np.abs(np.asarray(ys)[:, 0] - xs_true[:, 0]).mean()
+    assert err_filt < err_meas
+
+
+def test_kalman_with_inputs(lti_data):
+    A, B, C, Q, R, _, _ = lti_data
+    # drive with known inputs; filter must track the deterministic part
+    T = 30
+    us = jnp.ones((T, 1)) * 0.3
+    x0 = jnp.zeros(2)
+    An, Bn = np.asarray(A, np.float64), np.asarray(B, np.float64)
+    x = np.zeros(2); ys = []
+    for t in range(T):
+        x = An @ x + (Bn @ np.asarray(us[t])).ravel()
+        ys.append([x[0]])
+    ys = jnp.asarray(np.array(ys, np.float32))
+    res = kalman_filter(A, C, Q, R, x0, jnp.eye(2) * 0.1, ys, B=B, us=us)
+    xs_ref, *_ = np_kalman(A, C, Q, R, x0, jnp.eye(2) * 0.1, ys,
+                           u_terms=np.asarray(us) @ Bn.T)
+    np.testing.assert_allclose(np.asarray(res.means), xs_ref, rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_rts_smoother_matches_fp64(lti_data):
+    A, B, C, Q, R, xs_true, ys = lti_data
+    x0 = jnp.array([1.0, 0.0]); P0 = jnp.eye(2) * 0.1
+    filt = kalman_filter(A, C, Q, R, x0, P0, ys)
+    sm = kalman_smoother(A, filt)
+    xs_ref, Ps_ref, xs_p_ref, Ps_p_ref, _ = np_kalman(A, C, Q, R, x0, P0, ys)
+    xs_s_ref, Ps_s_ref = np_rts(A, xs_ref, Ps_ref, xs_p_ref, Ps_p_ref)
+    np.testing.assert_allclose(np.asarray(sm.means), xs_s_ref, rtol=2e-3,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sm.covs), Ps_s_ref, rtol=2e-3,
+                               atol=2e-5)
+    # smoothing reduces (or matches) filtered velocity error
+    err_f = np.abs(np.asarray(filt.means)[:, 1] - xs_true[:, 1]).mean()
+    err_s = np.abs(np.asarray(sm.means)[:, 1] - xs_true[:, 1]).mean()
+    assert err_s <= err_f * 1.05
+
+
+def test_kalman_batched_matches_single(lti_data):
+    A, B, C, Q, R, _, ys = lti_data
+    x0s = jnp.stack([jnp.array([1.0, 0.0]), jnp.array([0.5, -0.2])])
+    yss = jnp.stack([ys, ys * 0.9])
+    res = kalman_filter_batched(A, C, Q, R, x0s, jnp.eye(2) * 0.1, yss)
+    assert res.means.shape == (2, 50, 2)
+    r0 = kalman_filter(A, C, Q, R, x0s[0], jnp.eye(2) * 0.1, yss[0])
+    np.testing.assert_allclose(np.asarray(res.means[0]), np.asarray(r0.means),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(res.log_likelihood[0]),
+                               float(r0.log_likelihood), rtol=1e-5)
+
+
+def test_kalman_jittable(lti_data):
+    A, B, C, Q, R, _, ys = lti_data
+
+    @jax.jit
+    def run(ys):
+        return kalman_filter(A, C, Q, R, jnp.array([1.0, 0.0]),
+                             jnp.eye(2) * 0.1, ys).log_likelihood
+
+    ll1 = float(run(ys))
+    ll2 = float(run(ys))
+    assert ll1 == ll2 and np.isfinite(ll1)
+
+
+def test_ekf_pendulum_tracks():
+    """EKF on the nonlinear pendulum with angle-only measurements must beat
+    dead reckoning (pure prediction without updates)."""
+    rng = np.random.default_rng(3)
+    T = 60
+    us = jnp.asarray(0.5 * np.sin(0.3 * np.arange(T)).astype(np.float32)
+                     ).reshape(T, 1)
+    x = jnp.array([0.5, 0.0])
+    xs_true = rollout_nonlinear(pendulum_step, x, us)
+    ys = jnp.asarray(np.asarray(xs_true[1:, 0]).reshape(T, 1)
+                     + 0.05 * rng.standard_normal((T, 1)).astype(np.float32))
+    h = lambda x: x[:1]
+    Q = jnp.eye(2) * 1e-4
+    R = jnp.eye(1) * 2.5e-3
+    # deliberately wrong prior mean: the filter must recover
+    res = ekf_filter(pendulum_step, h, Q, R, jnp.array([0.0, 0.0]),
+                     jnp.eye(2) * 1.0, ys, us)
+    err_ekf = np.abs(np.asarray(res.means)[:, 0]
+                     - np.asarray(xs_true)[1:, 0]).mean()
+    dead = rollout_nonlinear(pendulum_step, jnp.array([0.0, 0.0]), us)
+    err_dead = np.abs(np.asarray(dead)[1:, 0]
+                      - np.asarray(xs_true)[1:, 0]).mean()
+    assert err_ekf < 0.5 * err_dead
+    assert err_ekf < 0.05  # close to measurement noise floor
+    assert np.isfinite(float(res.log_likelihood))
