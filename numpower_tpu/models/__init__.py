@@ -35,3 +35,6 @@ from numpower_tpu.models.estimation import (  # noqa: F401
 )
 from numpower_tpu.models.tube import TubeMPCResult, tube_mpc_solve  # noqa: F401
 from numpower_tpu.models.mpc import MPCController, MPCState  # noqa: F401
+from numpower_tpu.models.simulate import (  # noqa: F401
+    SimResult, simulate_closed_loop, lqr_feedback, kalman_estimator,
+)

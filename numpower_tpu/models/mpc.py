@@ -43,9 +43,14 @@ class MPCController:
         )
         self.u_lo, self.u_hi = float(u_lo), float(u_hi)
         self.iters = int(iters)
-        self.coarse_iters = (
-            max(0, self.iters - 12) if coarse_iters is None else int(coarse_iters)
-        )
+        if coarse_iters is None:
+            # qp is concrete here (condensed eagerly above), so the
+            # condition-aware schedule applies (condensed.default_coarse_iters)
+            from numpower_tpu.models.condensed import default_coarse_iters
+
+            self.coarse_iters = default_coarse_iters(self.qp, self.iters)
+        else:
+            self.coarse_iters = int(coarse_iters)
         self.x_ref = x_ref
         self._step = jax.jit(self._step_impl)
 
@@ -78,3 +83,13 @@ class MPCController:
 
     def step_with_residual(self, state: MPCState, x0s: jax.Array):
         return self._step(self.qp, state, x0s)
+
+    def callback(self):
+        """(ctrl_state, x0s, t) -> (u0, ctrl_state) closure for
+        models/simulate.simulate_closed_loop (t is ignored — the plan is
+        re-solved from scratch each tick with a warm start)."""
+        def fn(state, x0s, t):
+            u0, new_state, _ = self._step_impl(self.qp, state, x0s)
+            return u0, new_state
+
+        return fn
