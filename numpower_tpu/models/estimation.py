@@ -180,3 +180,138 @@ def ekf_filter(
         step, (x0, P0, jnp.asarray(0.0, x0.dtype)), (ys, us))
     return KalmanResult(means=xs_f, covs=Ps_f, pred_means=xs_p,
                         pred_covs=Ps_p, log_likelihood=ll)
+
+
+class _KFElement(NamedTuple):
+    """Parallel-filter element (Sarkka & Garcia-Fernandez, "Temporal
+    Parallelization of Bayesian Smoothers", PAPERS.md): represents
+    p(x_k | y_..., x_{k-1}) ~ N(A x_{k-1} + b, C) with information terms
+    (eta, J) carrying the likelihood backward."""
+    A: jax.Array
+    b: jax.Array
+    C: jax.Array
+    eta: jax.Array
+    J: jax.Array
+
+
+def _mv(M, v):
+    """Batch-safe matrix-vector product (associative_scan passes elements
+    with an extra leading dim, where plain `@` misreads (B, n) as a matrix)."""
+    return (M @ v[..., None])[..., 0]
+
+
+def _kf_combine(ei: _KFElement, ej: _KFElement) -> _KFElement:
+    """Combine earlier element i with later element j (associative)."""
+    n = ei.A.shape[-1]
+    I = jnp.eye(n, dtype=ei.A.dtype)
+    # denom = I + C_i J_j; one solve reused for the A/b/C updates
+    rhs = jnp.concatenate(
+        [ei.A, ei.C, (ei.b + _mv(ei.C, ej.eta))[..., None]], axis=-1)
+    M = jnp.linalg.solve(I + ei.C @ ej.J, rhs)
+    MA, MC, Mb = M[..., :n], M[..., n:2 * n], M[..., 2 * n]
+    A = ej.A @ MA
+    b = _mv(ej.A, Mb) + ej.b
+    C = ej.A @ MC @ ej.A.swapaxes(-1, -2) + ej.C
+    # (I + J_j C_i)^{-1} applied to [eta_j - J_j b_i, J_j A_i]
+    rhs2 = jnp.concatenate(
+        [(ej.eta - _mv(ej.J, ei.b))[..., None], ej.J @ ei.A], axis=-1)
+    M2 = jnp.linalg.solve(I + ej.J @ ei.C, rhs2)
+    AiT = ei.A.swapaxes(-1, -2)
+    eta = _mv(AiT, M2[..., 0]) + ei.eta
+    J = AiT @ M2[..., 1:] + ei.J
+    C = 0.5 * (C + C.swapaxes(-1, -2))
+    J = 0.5 * (J + J.swapaxes(-1, -2))
+    return _KFElement(A, b, C, eta, J)
+
+
+def kalman_filter_associative(
+    A: jax.Array,
+    C: jax.Array,
+    Q: jax.Array,
+    R: jax.Array,
+    x0: jax.Array,
+    P0: jax.Array,
+    ys: jax.Array,
+    B: Optional[jax.Array] = None,
+    us: Optional[jax.Array] = None,
+) -> KalmanResult:
+    """Parallel-in-time Kalman filter: O(log T) depth associative scan.
+
+    Same outputs as kalman_filter (fp32 tolerance) — the SP analogue of
+    models/lqr.riccati_associative, for long horizons (T >= ~128) or
+    time-sharded execution. Per-step elements are built with vmap, the
+    prefix composition runs as lax.associative_scan, and prediction/
+    log-likelihood are recovered with one trailing vmap.
+    """
+    T, p = ys.shape
+    n = x0.shape[0]
+    dt = x0.dtype
+    if us is None:
+        cs = jnp.zeros((T, n), dt)
+    else:
+        cs = us @ B.T
+
+    # generic element (k >= 2): update vs the PROCESS noise prior
+    S = C @ Q @ C.T + R
+    Ls = jnp.linalg.cholesky(0.5 * (S + S.T))
+    K = jax.scipy.linalg.cho_solve((Ls, True), C @ Q).T     # Q C' S^-1
+    IKC = jnp.eye(n, dtype=dt) - K @ C
+    A_g = IKC @ A
+    C_g = 0.5 * ((IKC @ Q) + (IKC @ Q).T)
+    HtSinv = jax.scipy.linalg.cho_solve((Ls, True), C).T    # C' S^-1  (n, p)
+    J_g = A.T @ HtSinv @ C @ A
+    J_g = 0.5 * (J_g + J_g.T)
+
+    def make_generic(y, c):
+        return _KFElement(
+            A=A_g,
+            b=K @ y + IKC @ c,
+            C=C_g,
+            eta=A.T @ (HtSinv @ (y - C @ c)),
+            J=J_g,
+        )
+
+    elems = jax.vmap(make_generic)(ys, cs)
+
+    # first element absorbs the prior (predict from (x0, P0), update on y_1)
+    x1p = A @ x0 + cs[0]
+    P1p = A @ P0 @ A.T + Q
+    S1 = C @ P1p @ C.T + R
+    L1 = jnp.linalg.cholesky(0.5 * (S1 + S1.T))
+    K1 = jax.scipy.linalg.cho_solve((L1, True), C @ P1p).T
+    C1 = (jnp.eye(n, dtype=dt) - K1 @ C) @ P1p
+    first = _KFElement(
+        A=jnp.zeros((n, n), dt),
+        b=x1p + K1 @ (ys[0] - C @ x1p),
+        C=0.5 * (C1 + C1.T),
+        eta=jnp.zeros((n,), dt),
+        J=jnp.zeros((n, n), dt),
+    )
+    elems = jax.tree_util.tree_map(
+        lambda f, e: jnp.concatenate([f[None], e[1:]], axis=0), first, elems)
+
+    combined = lax.associative_scan(
+        lambda earlier, later: _kf_combine(
+            _KFElement(*earlier), _KFElement(*later)), tuple(elems), axis=0)
+    xs_f = combined[1]   # b of the prefix = filtered means
+    Ps_f = combined[2]   # C of the prefix = filtered covariances
+
+    # predictions + innovation log-likelihood from the filtered sequence
+    xs_prev = jnp.concatenate([x0[None], xs_f[:-1]], axis=0)
+    Ps_prev = jnp.concatenate([P0[None], Ps_f[:-1]], axis=0)
+
+    def predict_ll(x_prev, P_prev, y, c):
+        x_p = A @ x_prev + c
+        P_p = A @ P_prev @ A.T + Q
+        P_p = 0.5 * (P_p + P_p.T)
+        Sk = C @ P_p @ C.T + R
+        Lk = jnp.linalg.cholesky(0.5 * (Sk + Sk.T))
+        v = y - C @ x_p
+        alpha = jax.scipy.linalg.solve_triangular(Lk, v, lower=True)
+        ll = -0.5 * (alpha @ alpha + p * jnp.log(2.0 * jnp.pi)) - jnp.sum(
+            jnp.log(jnp.diagonal(Lk)))
+        return x_p, P_p, ll
+
+    xs_p, Ps_p, lls = jax.vmap(predict_ll)(xs_prev, Ps_prev, ys, cs)
+    return KalmanResult(means=xs_f, covs=Ps_f, pred_means=xs_p,
+                        pred_covs=Ps_p, log_likelihood=jnp.sum(lls))

@@ -174,3 +174,68 @@ def test_ekf_pendulum_tracks():
     assert err_ekf < 0.5 * err_dead
     assert err_ekf < 0.05  # close to measurement noise floor
     assert np.isfinite(float(res.log_likelihood))
+
+
+def test_kalman_associative_matches_sequential(lti_data):
+    """Parallel-in-time filter (associative scan) must reproduce the
+    sequential scan: means, covs, predictions, log-likelihood."""
+    from numpower_tpu.models import kalman_filter_associative
+
+    A, B, C, Q, R, _, ys = lti_data
+    x0 = jnp.array([1.0, 0.0]); P0 = jnp.eye(2) * 0.1
+    seq = kalman_filter(A, C, Q, R, x0, P0, ys)
+    par = kalman_filter_associative(A, C, Q, R, x0, P0, ys)
+    np.testing.assert_allclose(np.asarray(par.means), np.asarray(seq.means),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(par.covs), np.asarray(seq.covs),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(par.pred_means),
+                               np.asarray(seq.pred_means), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(par.log_likelihood),
+                               float(seq.log_likelihood), rtol=1e-3)
+
+
+def test_kalman_associative_with_inputs(lti_data):
+    from numpower_tpu.models import kalman_filter_associative
+
+    A, B, C, Q, R, _, _ = lti_data
+    T = 40
+    rng = np.random.default_rng(7)
+    us = jnp.asarray(0.4 * rng.standard_normal((T, 1)).astype(np.float32))
+    x0 = jnp.zeros(2)
+    An, Bn = np.asarray(A, np.float64), np.asarray(B, np.float64)
+    x = np.zeros(2); ys = []
+    for t in range(T):
+        x = An @ x + (Bn @ np.asarray(us[t])).ravel() + rng.normal(0, 0.01, 2)
+        ys.append([x[0] + rng.normal(0, 0.05)])
+    ys = jnp.asarray(np.array(ys, np.float32))
+    seq = kalman_filter(A, C, Q, R, x0, jnp.eye(2) * 0.2, ys, B=B, us=us)
+    par = kalman_filter_associative(A, C, Q, R, x0, jnp.eye(2) * 0.2, ys,
+                                    B=B, us=us)
+    np.testing.assert_allclose(np.asarray(par.means), np.asarray(seq.means),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(float(par.log_likelihood),
+                               float(seq.log_likelihood), rtol=1e-3)
+
+
+def test_kalman_associative_long_horizon(lti_data):
+    """T=512: the parallel form must stay numerically stable (fp32) over a
+    long prefix composition."""
+    from numpower_tpu.models import kalman_filter_associative
+
+    A, B, C, Q, R, _, _ = lti_data
+    rng = np.random.default_rng(8)
+    T = 512
+    x = np.array([1.0, 0.0]); ys = []
+    An = np.asarray(A, np.float64)
+    for _ in range(T):
+        x = An @ x + rng.normal(0, 0.02, 2)
+        ys.append([x[0] + rng.normal(0, 0.1)])
+    ys = jnp.asarray(np.array(ys, np.float32))
+    x0 = jnp.array([1.0, 0.0]); P0 = jnp.eye(2) * 0.1
+    seq = kalman_filter(A, C, Q, R, x0, P0, ys)
+    par = kalman_filter_associative(A, C, Q, R, x0, P0, ys)
+    np.testing.assert_allclose(np.asarray(par.means), np.asarray(seq.means),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(par.covs), np.asarray(seq.covs),
+                               rtol=5e-3, atol=5e-5)
