@@ -41,6 +41,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def minv_factor(H: jax.Array, rho) -> jax.Array:
+    """(H + rho I)^{-1} via Cholesky + two triangular solves — the single
+    factorization shared by the kernel and the caller's residual pass."""
+    d = H.shape[0]
+    M = H + rho * jnp.eye(d, dtype=H.dtype)
+    L = jnp.linalg.cholesky(M)
+    Linv = jax.scipy.linalg.solve_triangular(L, jnp.eye(d, dtype=H.dtype),
+                                             lower=True)
+    return Linv.T @ Linv
+
+
 def _admm_kernel(minvT_ref, g_ref, params_ref, z0_ref, out_ref, y_out_ref, *,
                  iters: int, coarse_iters: int):
     """One grid step = one scenario tile. MinvT (d_pad, d_pad) VMEM-resident;
@@ -84,6 +95,7 @@ def admm_boxqp_pallas(
     tile_n: int = 1024,
     interpret: bool = False,
     U0: Optional[jax.Array] = None,
+    Minv: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Batched ADMM box-QP solve: argmin_U 1/2 U'HU + g_i'U, lo<=U<=hi.
 
@@ -91,25 +103,31 @@ def admm_boxqp_pallas(
     Zero-pads d to the 128-lane boundary and N to the tile. Padded Minv
     rows/cols are zero, so padded columns never couple into real ones
     (padded z/y columns evolve as clip-of-garbage but are sliced away).
-    U0 warm-starts z (clipped).
+    U0 warm-starts z (clipped); cold start is z0 = clip(0, lo, hi) — the
+    SAME iterate sequence as models/admm.solve_boxqp_admm, so the backends
+    agree even when the box excludes zero. Pass a precomputed Minv =
+    (H + rho I)^{-1} to share the factorization with residual reporting.
     """
     N, d = g.shape
     d_pad = _round_up(d, 128)
+    # VMEM envelope: minvT (d_pad^2) + 4 tile buffers (g, z0, z_out, y_out)
+    # + the live (z, y) carries — scale the tile down as d grows so the
+    # per-tile footprint stays ~the flagship's (d_pad=128, tile=1024) size.
+    tile_n = min(tile_n, max(128, (1024 * 128) // d_pad))
     tile_n = min(tile_n, _round_up(N, 8))
     n_pad = _round_up(N, tile_n)
     dt = g.dtype
 
-    M = H + rho * jnp.eye(d, dtype=H.dtype)
-    L = jnp.linalg.cholesky(M)
-    Linv = jax.scipy.linalg.solve_triangular(L, jnp.eye(d, dtype=H.dtype),
-                                             lower=True)
-    Minv = Linv.T @ Linv
+    if Minv is None:
+        Minv = minv_factor(H, rho)
 
     minvT = jnp.zeros((d_pad, d_pad), dt).at[:d, :d].set(Minv.T)
     g_p = jnp.zeros((n_pad, d_pad), dt).at[:N, :d].set(g)
-    z0 = jnp.zeros((n_pad, d_pad), dt)
-    if U0 is not None:
-        z0 = z0.at[:N, :d].set(jnp.clip(U0, lo, hi))
+    if U0 is None:
+        z0 = jnp.clip(jnp.zeros((n_pad, d_pad), dt), lo, hi)
+    else:
+        z0 = jnp.zeros((n_pad, d_pad), dt).at[:N, :d].set(
+            jnp.clip(U0, lo, hi))
     params = jnp.stack([
         jnp.asarray(rho, jnp.float32),
         jnp.asarray(lo, jnp.float32),

@@ -59,16 +59,14 @@ def solve_boxqp_admm(
     batched GEMMs. over_relax in [1, 1.8] is the standard alpha relaxation
     (1.6 default per the OSQP recommendation).
     """
+    from numpower_tpu.kernels.boxqp_admm import minv_factor
+
     batched = g.ndim == 2
-    d = H.shape[0]
-    dt = g.dtype
-    M = H + rho * jnp.eye(d, dtype=dt)
-    L = jnp.linalg.cholesky(M)
-    # Precompute the dense inverse once: two triangular solves against I.
-    # d <= ~1k for MPC-condensed QPs, so the d^3 is trivial next to the
-    # iters x (N, d, d) GEMM stream, and GEMM >> sequential trsm on the MXU.
-    Linv = jax.scipy.linalg.solve_triangular(L, jnp.eye(d, dtype=dt), lower=True)
-    Minv = Linv.T @ Linv
+    # Precompute the dense inverse once (minv_factor: Cholesky + two
+    # triangular solves against I). d <= ~1k for MPC-condensed QPs, so the
+    # d^3 is trivial next to the iters x (N, d, d) GEMM stream, and GEMM >>
+    # sequential trsm on the MXU.
+    Minv = minv_factor(H, rho)
 
     z0 = jnp.clip(jnp.zeros_like(g) if U0 is None else U0, lo, hi)
     y0 = jnp.zeros_like(g)
@@ -133,24 +131,21 @@ def solve_mpc_boxqp_admm(
         on_tpu = jax.default_backend() in ("tpu", "axon")
         method = "pallas" if (on_tpu and d <= 1024 and g.ndim == 2) else "xla"
     if method == "pallas":
-        from numpower_tpu.kernels.boxqp_admm import admm_boxqp_pallas
+        from numpower_tpu.kernels.boxqp_admm import admm_boxqp_pallas, minv_factor
 
         if coarse_iters is None:
             coarse_iters = max(0, iters - 12)
+        over_relax = 1.6
+        Minv = minv_factor(qp.H, rho)  # shared: kernel x-updates + residuals
         z, y = admm_boxqp_pallas(qp.H, g, jnp.float32(u_lo), jnp.float32(u_hi),
                                  rho, iters=iters, coarse_iters=coarse_iters,
-                                 U0=U0)
-        # exact residuals via one XLA x-update at the final (z, y) — the
-        # d^3 refactor is trivial next to the kernel's iters x N x d^2 GEMMs
-        dt = g.dtype
-        M = qp.H + rho * jnp.eye(d, dtype=dt)
-        L = jnp.linalg.cholesky(M)
-        Linv = jax.scipy.linalg.solve_triangular(
-            L, jnp.eye(d, dtype=dt), lower=True)
-        Minv = Linv.T @ Linv
+                                 over_relax=over_relax, U0=U0, Minv=Minv)
+        # exact residuals via one XLA x-update at the final (z, y) — same
+        # over-relaxed formulas as the solve_boxqp_admm scan path
         x = (rho * (z - y) - g) @ Minv.T
         r_prim = jnp.max(jnp.abs(x - z))
-        z_next = jnp.clip(x + y, u_lo, u_hi)
+        z_next = jnp.clip(over_relax * x + (1.0 - over_relax) * z + y,
+                          u_lo, u_hi)
         r_dual = rho * jnp.max(jnp.abs(z_next - z))
         return ADMMResult(U=z, iterations=jnp.asarray(iters),
                           primal_residual=r_prim, dual_residual=r_dual)
@@ -255,7 +250,6 @@ def solve_mpc_state_constrained(
     A = jnp.concatenate([jnp.eye(d, dtype=qp.H.dtype), qp.Su], axis=0)
     batched = x0s.ndim == 2
     sx_x0 = x0s @ qp.Sx.T if batched else qp.Sx @ x0s  # (N, Tn)
-    tn = qp.Sx.shape[0]
     xl = jnp.broadcast_to(jnp.asarray(x_lo, qp.H.dtype), (qp.n,))
     xh = jnp.broadcast_to(jnp.asarray(x_hi, qp.H.dtype), (qp.n,))
     xl_stack = jnp.tile(xl, qp.T)

@@ -35,7 +35,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from numpower_tpu.models.ilqr import _forward_pass, _total_cost
+from numpower_tpu.models.ilqr import (
+    _backward_pass as _ilqr_backward_pass, _forward_pass, _total_cost,
+)
 from numpower_tpu.models.rollout import linearize_trajectory, rollout_nonlinear
 
 
@@ -66,44 +68,11 @@ def _al_terms(us, lam_hi, lam_lo, mu, u_lo, u_hi):
 
 def _backward_pass_al(As, Bs, xs, us, Q, R, QF, x_goal, reg,
                       lu_pen, luu_pen):
-    """iLQR backward pass with additive penalty derivatives on u.
-
-    Identical recursion to models/ilqr.py:_backward_pass (cited there to
-    reference linalg.c solve/cholesky paths) plus lu += lu_pen[t],
-    luu += diag(luu_pen[t])."""
-    VX_T = 2.0 * (QF @ (xs[-1] - x_goal))
-    VXX_T = 2.0 * QF
-    m = us.shape[-1]
-    eye_m = jnp.eye(m, dtype=us.dtype)
-
-    def step(carry, inputs):
-        Vx, Vxx = carry
-        A, B, x, u, lu_p, luu_p = inputs
-        lx = 2.0 * (Q @ (x - x_goal))
-        lu = 2.0 * (R @ u) + lu_p
-        lxx = 2.0 * Q
-        luu = 2.0 * R + jnp.diag(luu_p)
-        Qx = lx + A.T @ Vx
-        Qu = lu + B.T @ Vx
-        Qxx = lxx + A.T @ Vxx @ A
-        Quu = luu + B.T @ Vxx @ B + reg * eye_m
-        Qux = B.T @ Vxx @ A
-        L = jnp.linalg.cholesky(0.5 * (Quu + Quu.T))
-        k = -jax.scipy.linalg.cho_solve((L, True), Qu)
-        K = -jax.scipy.linalg.cho_solve((L, True), Qux)
-        Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
-        Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
-        Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
-        return (Vx_new, Vxx_new), (k, K)
-
-    xs_t = xs[:-1]
-    _, (ks_rev, Ks_rev) = lax.scan(
-        step,
-        (VX_T, VXX_T),
-        (As[::-1], Bs[::-1], xs_t[::-1], us[::-1],
-         lu_pen[::-1], luu_pen[::-1]),
-    )
-    return jnp.flip(ks_rev, 0), jnp.flip(Ks_rev, 0)
+    """iLQR backward pass with additive penalty derivatives on u — the
+    shared recursion in models/ilqr._backward_pass with its optional
+    lu_pen/luu_pen terms (one implementation serves both solvers)."""
+    return _ilqr_backward_pass(As, Bs, xs, us, Q, R, QF, x_goal, reg,
+                               lu_pen=lu_pen, luu_pen=luu_pen)
 
 
 def al_ilqr_solve(

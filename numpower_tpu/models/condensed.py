@@ -119,15 +119,27 @@ def default_coarse_iters(qp: CondensedQP, iters: int) -> int:
     gives ~1e-5 error at kappa=37 and reduces to the long-validated 12-13
     iteration tail on the well-conditioned flagship QP (kappa~3.6).
 
-    Needs CONCRETE lipschitz/mu (trip counts are static). When qp is a jit
-    tracer, falls back to an all-fp32 schedule (coarse=0) — callers inside
-    jit should pass coarse_iters explicitly to keep the bf16 speedup.
+    Needs CONCRETE lipschitz/mu (trip counts are static): the two float()
+    calls are scalar device->host readbacks, so call this once at setup
+    time, not on the tick path. When qp is a jit tracer, falls back to an
+    all-fp32 schedule (coarse=0) with a one-time warning — callers inside
+    jit should pass coarse_iters explicitly to keep the ~6x bf16 speedup.
     """
+    import math
+
     try:
         kappa = max(float(qp.lipschitz) / max(float(qp.mu), 1e-12), 1.0)
     except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError, TypeError):
+        import warnings
+
+        warnings.warn(
+            "default_coarse_iters called with a traced CondensedQP: falling "
+            "back to all-fp32 (no bf16 coarse phase, ~6x slower hot GEMMs). "
+            "Compute the schedule eagerly and pass coarse_iters= explicitly.",
+            stacklevel=3,
+        )
         return 0
-    tail = max(12, int(jnp.ceil(6.5 * jnp.sqrt(kappa))))
+    tail = max(12, math.ceil(6.5 * math.sqrt(kappa)))
     return max(0, iters - tail)
 
 

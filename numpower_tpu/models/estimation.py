@@ -86,6 +86,8 @@ def kalman_filter(
     if us is None:
         u_terms = jnp.zeros((T, x0.shape[0]), x0.dtype)
     else:
+        if B is None:
+            raise ValueError("us requires B (the input matrix)")
         u_terms = us @ B.T
 
     def step(carry, inputs):
@@ -249,6 +251,8 @@ def kalman_filter_associative(
     if us is None:
         cs = jnp.zeros((T, n), dt)
     else:
+        if B is None:
+            raise ValueError("us requires B (the input matrix)")
         cs = us @ B.T
 
     # generic element (k >= 2): update vs the PROCESS noise prior

@@ -43,24 +43,35 @@ def _total_cost(xs, us, Q, R, QF, x_goal):
     )
 
 
-def _backward_pass(As, Bs, xs, us, Q, R, QF, x_goal, reg):
+def _backward_pass(As, Bs, xs, us, Q, R, QF, x_goal, reg,
+                   lu_pen=None, luu_pen=None):
     """LQ backward pass on the linearized system with quadratic tracking
-    cost. Returns feedforward ks (T, m) and feedback Ks (T, m, n)."""
-    n = xs.shape[-1]
+    cost. Returns feedforward ks (T, m) and feedback Ks (T, m, n).
+
+    lu_pen/luu_pen ((T, m) each, optional) add per-timestep gradient and
+    DIAGONAL Hessian terms on u — the augmented-Lagrangian active-set
+    penalty (models/al_ilqr._al_terms). One recursion serves both plain
+    iLQR and AL-iLQR."""
+    T, m = us.shape
     VX_T = 2.0 * (QF @ (xs[-1] - x_goal))
     VXX_T = 2.0 * QF
+    if lu_pen is None:
+        lu_pen = jnp.zeros((T, m), us.dtype)
+    if luu_pen is None:
+        luu_pen = jnp.zeros((T, m), us.dtype)
+    eye_m = jnp.eye(m, dtype=us.dtype)
 
     def step(carry, inputs):
         Vx, Vxx = carry
-        A, B, x, u = inputs
+        A, B, x, u, lu_p, luu_p = inputs
         lx = 2.0 * (Q @ (x - x_goal))
-        lu = 2.0 * (R @ u)
+        lu = 2.0 * (R @ u) + lu_p
         lxx = 2.0 * Q
-        luu = 2.0 * R
+        luu = 2.0 * R + jnp.diag(luu_p)
         Qx = lx + A.T @ Vx
         Qu = lu + B.T @ Vx
         Qxx = lxx + A.T @ Vxx @ A
-        Quu = luu + B.T @ Vxx @ B + reg * jnp.eye(B.shape[1], dtype=B.dtype)
+        Quu = luu + B.T @ Vxx @ B + reg * eye_m
         Qux = B.T @ Vxx @ A
         L = jnp.linalg.cholesky(0.5 * (Quu + Quu.T))
         k = -jax.scipy.linalg.cho_solve((L, True), Qu)
@@ -72,7 +83,9 @@ def _backward_pass(As, Bs, xs, us, Q, R, QF, x_goal, reg):
 
     xs_t = xs[:-1]
     _, (ks_rev, Ks_rev) = lax.scan(
-        step, (VX_T, VXX_T), (As[::-1], Bs[::-1], xs_t[::-1], us[::-1])
+        step, (VX_T, VXX_T),
+        (As[::-1], Bs[::-1], xs_t[::-1], us[::-1],
+         lu_pen[::-1], luu_pen[::-1])
     )
     return jnp.flip(ks_rev, 0), jnp.flip(Ks_rev, 0)
 

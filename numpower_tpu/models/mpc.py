@@ -84,12 +84,20 @@ class MPCController:
     def step_with_residual(self, state: MPCState, x0s: jax.Array):
         return self._step(self.qp, state, x0s)
 
+    def callback_init(self, n_scenarios: int):
+        """Initial ctrl_state for models/simulate.simulate_closed_loop: the
+        QP rides the scan carry as a jit ARGUMENT (closure-capturing it
+        would embed H/Sx/Su as HLO constants fetched D2H at trace time —
+        CondensedQP docstring)."""
+        return (self.qp, self.init(n_scenarios))
+
     def callback(self):
-        """(ctrl_state, x0s, t) -> (u0, ctrl_state) closure for
-        models/simulate.simulate_closed_loop (t is ignored — the plan is
-        re-solved from scratch each tick with a warm start)."""
+        """(ctrl_state, x0s, t) -> (u0, ctrl_state) for simulate_closed_loop;
+        pair with ctrl_state0=callback_init(N). t is ignored — the plan is
+        re-solved each tick with a warm start."""
         def fn(state, x0s, t):
-            u0, new_state, _ = self._step_impl(self.qp, state, x0s)
-            return u0, new_state
+            qp, mpc_state = state
+            u0, new_state, _ = self._step_impl(qp, mpc_state, x0s)
+            return u0, (qp, new_state)
 
         return fn

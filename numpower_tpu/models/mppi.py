@@ -134,8 +134,7 @@ def mppi_solve(
         # information-theoretic control coupling term: lam * u' Sigma^-1 eps
         couple = lam * jnp.einsum("ktm,tm->k", eps_eff, inv_sig2 * us_nom)
         S = costs + couple
-        S = S - jnp.min(S)
-        w = jax.nn.softmax(-S / lam)
+        w = jax.nn.softmax(-S / lam)  # shift-invariant (internal max-shift)
         ess = 1.0 / jnp.sum(w * w)
         us_new = clipc(us_nom + jnp.einsum("k,ktm->tm", w, eps_eff))
         return us_new, ess

@@ -54,7 +54,12 @@ def simulate_closed_loop(
 
     With estimator=None the controller sees the true state (full-state
     feedback); with an estimator it sees x_hat (output feedback). Wrap in
-    jax.jit for repeated runs — everything inside is jit-compatible."""
+    jax.jit for repeated runs — everything inside is jit-compatible.
+    Controller/estimator callbacks must carry their device arrays in
+    ctrl_state0/est_state0, not closures (see lqr_feedback/kalman_estimator)."""
+    if estimator is not None and h is None:
+        raise ValueError("estimator requires a measurement model h "
+                         "(the estimator consumes y = h(x) + noise)")
     N, n = x0s.shape
     dt = x0s.dtype
     f_b = jax.vmap(f)
@@ -91,10 +96,15 @@ def simulate_closed_loop(
     )
 
 
-def lqr_feedback(K: jax.Array, u_lo=None, u_hi=None) -> Callable:
-    """Stateless static-gain controller callback: u = clip(-K x)."""
+def lqr_feedback(u_lo=None, u_hi=None) -> Callable:
+    """Static-gain controller callback: u = clip(-K x).
+
+    The gain K rides the ctrl_state carry (pass ctrl_state0=K) rather than
+    being closure-captured — captured device arrays become HLO constants and
+    lowering fetches them D2H (CLAUDE.md / CondensedQP docstring). u_lo/u_hi
+    are Python scalars, safe to close over."""
     def fn(state, x, t):
-        u = -(x @ K.T)
+        u = -(x @ state.T)
         if u_lo is not None or u_hi is not None:
             u = jnp.clip(u, u_lo, u_hi)
         return u, state
@@ -105,21 +115,24 @@ def lqr_feedback(K: jax.Array, u_lo=None, u_hi=None) -> Callable:
 def kalman_estimator(A, C, Q, R, P0, B=None):
     """Batched Kalman estimator callback for simulate_closed_loop.
 
-    Returns (make_state, update): make_state(xhat0 (N,n)) builds the
-    (means, covs) carry; update consumes one measurement batch per tick
-    (reuses estimation._filter_step, vmapped over trajectories)."""
+    Returns (make_state, update): make_state(xhat0 (N,n)) builds the carry —
+    the filter matrices ride INSIDE it (scan-carried jit arguments, never
+    closure-captured device constants) together with the (means, covs)
+    state; update consumes one measurement batch per tick (reuses
+    estimation._filter_step, vmapped over trajectories)."""
     n = A.shape[0]
+    params = (A, C, Q, R, B)  # B may be None (valid empty pytree leaf)
 
     def make_state(xhat0: jax.Array):
         N = xhat0.shape[0]
-        return (xhat0, jnp.broadcast_to(P0, (N, n, n)))
+        return (params, (xhat0, jnp.broadcast_to(P0, (N, n, n))))
 
     def update(state, y, u_prev):
-        xh, P = state
-        u_term = u_prev @ B.T if B is not None else jnp.zeros_like(xh)
+        (A_, C_, Q_, R_, B_), (xh, P) = state
+        u_term = u_prev @ B_.T if B_ is not None else jnp.zeros_like(xh)
         x_f, P_f, _, _, _ = jax.vmap(
-            lambda x, p, yy, ut: _filter_step(A, C, Q, R, x, p, yy, ut)
+            lambda x, p, yy, ut: _filter_step(A_, C_, Q_, R_, x, p, yy, ut)
         )(xh, P, y, u_term)
-        return x_f, (x_f, P_f)
+        return x_f, ((A_, C_, Q_, R_, B_), (x_f, P_f))
 
     return make_state, update

@@ -21,7 +21,7 @@ def test_lqr_full_state_feedback_stabilizes(di):
     K, _ = lqr_infinite_gain(A, B, jnp.eye(2), jnp.eye(1) * 0.1)
     f = lambda x, u: A @ x + B @ u
     x0s = jnp.array([[2.0, 0.0], [-1.0, 0.5], [0.0, -2.0]])
-    res = simulate_closed_loop(f, lqr_feedback(K), None, x0s, steps=100)
+    res = simulate_closed_loop(f, lqr_feedback(), K, x0s, steps=100)
     assert res.xs.shape == (101, 3, 2)
     assert res.us.shape == (100, 3, 1)
     assert res.ys is None and res.xhats is None
@@ -34,11 +34,11 @@ def test_noise_is_reproducible_and_keyed(di):
     K, _ = lqr_infinite_gain(A, B, jnp.eye(2), jnp.eye(1) * 0.1)
     f = lambda x, u: A @ x + B @ u
     x0s = jnp.array([[1.0, 0.0]])
-    r1 = simulate_closed_loop(f, lqr_feedback(K), None, x0s, 50,
+    r1 = simulate_closed_loop(f, lqr_feedback(), K, x0s, 50,
                               key=jax.random.key(5), w_std=0.05)
-    r2 = simulate_closed_loop(f, lqr_feedback(K), None, x0s, 50,
+    r2 = simulate_closed_loop(f, lqr_feedback(), K, x0s, 50,
                               key=jax.random.key(5), w_std=0.05)
-    r3 = simulate_closed_loop(f, lqr_feedback(K), None, x0s, 50,
+    r3 = simulate_closed_loop(f, lqr_feedback(), K, x0s, 50,
                               key=jax.random.key(6), w_std=0.05)
     np.testing.assert_array_equal(np.asarray(r1.xs), np.asarray(r2.xs))
     assert not np.allclose(np.asarray(r1.xs), np.asarray(r3.xs))
@@ -65,7 +65,7 @@ def test_output_feedback_kalman_mpc(di):
                                              B=B)
     f = lambda x, u: A @ x + B @ u
     res = simulate_closed_loop(
-        f, ctrl.callback(), ctrl.init(N), x0s, steps=80,
+        f, ctrl.callback(), ctrl.callback_init(N), x0s, steps=80,
         key=jax.random.key(1), w_std=0.01,
         h=lambda x: x[:1], v_std=0.05,
         estimator=kf_update, est_state0=make_state(x0s),
@@ -89,7 +89,7 @@ def test_whole_loop_is_jittable(di):
 
     @jax.jit
     def run(x0s, key):
-        return simulate_closed_loop(f, lqr_feedback(K), None, x0s, 40,
+        return simulate_closed_loop(f, lqr_feedback(), K, x0s, 40,
                                     key=key, w_std=0.02).xs
 
     xs = run(jnp.array([[1.0, 0.0]]), jax.random.key(2))
