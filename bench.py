@@ -326,6 +326,60 @@ def bench_solvers_extra(scenarios: int, horizon: int, iters: int, reps: int):
     )
 
 
+def bench_estimation(scenarios: int, reps: int):
+    """Batched Kalman filtering throughput (the estimation side of the MPC
+    loop) + sequential-vs-associative parallel-in-time comparison."""
+    import jax
+    import jax.numpy as jnp
+
+    from numpower_tpu.models import (
+        double_integrator, kalman_filter, kalman_filter_associative,
+        kalman_filter_batched,
+    )
+
+    A, B = double_integrator(0.1)
+    C = jnp.array([[1.0, 0.0]])
+    Q = jnp.eye(2) * 1e-3
+    R = jnp.eye(1) * 1e-2
+    P0 = jnp.eye(2) * 0.1
+    N, T = scenarios, 50
+    rng = np.random.default_rng(11)
+    yss = jnp.asarray(rng.standard_normal((N, T, 1)).astype(np.float32))
+    x0s = jnp.asarray(rng.standard_normal((N, 2)).astype(np.float32))
+    t = _device_time_per_call(
+        lambda x0s, yss, i: kalman_filter_batched(
+            A, C, Q, R, x0s + i * 1e-6, P0, yss).log_likelihood[0],
+        (x0s, yss), K=256, reps=reps,
+    )
+    if t <= 2e-8:
+        _log(f"[kalman] {N}-trajectory batched filter T={T}: below timer "
+             f"resolution (<{t*1e6:.2f} us/batch)")
+    else:
+        _log(
+            f"[kalman] {N}-trajectory batched filter T={T}: {t*1e3:.2f} ms/batch "
+            f"-> {N/t:,.0f} filters/s ({N*T/t/1e6:.1f}M updates/s)"
+        )
+
+    # long-horizon: sequential scan vs associative O(log T)
+    T_long = 4096
+    ys_long = jnp.asarray(rng.standard_normal((T_long, 1)).astype(np.float32))
+    x0 = jnp.array([1.0, 0.0])
+    t_seq = _device_time_per_call(
+        lambda ys, i: kalman_filter(
+            A, C, Q, R, x0, P0, ys + i * 1e-6).log_likelihood,
+        (ys_long,), K=8, reps=max(2, reps // 3),
+    )
+    t_par = _device_time_per_call(
+        lambda ys, i: kalman_filter_associative(
+            A, C, Q, R, x0, P0, ys + i * 1e-6).log_likelihood,
+        (ys_long,), K=8, reps=max(2, reps // 3),
+    )
+    _log(
+        f"[kalman] T={T_long} single filter: sequential {t_seq*1e3:.2f} ms vs "
+        f"associative {t_par*1e3:.2f} ms ({t_seq/t_par:.1f}x)"
+    )
+
+
 def bench_tube(scenarios: int, reps: int):
     """Config #5 (single-host slice): tube-MPC scenario sweep."""
     import jax
@@ -516,6 +570,7 @@ def main():
         bench_tube(min(scenarios * 4, 16384) if not args.quick else 512, reps)
         bench_serving(scenarios, args.horizon, reps)
         bench_solvers_extra(scenarios, args.horizon, args.iters, reps)
+        bench_estimation(scenarios, reps)
 
     if args.scaling:
         bench_scaling(scenarios, reps)

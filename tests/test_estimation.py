@@ -239,3 +239,89 @@ def test_kalman_associative_long_horizon(lti_data):
                                rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(par.covs), np.asarray(seq.covs),
                                rtol=5e-3, atol=5e-5)
+
+
+# ---------------------------------------------------------------- MHE
+
+def test_mhe_unconstrained_equals_rts_smoother(lti_data):
+    """The unconstrained MHE window optimum is the linear-Gaussian MAP
+    trajectory == RTS smoother means (two completely different algorithms)."""
+    from numpower_tpu.models import mhe_solve
+
+    A, B, C, Q, R, _, ys = lti_data
+    x0 = jnp.array([1.0, 0.0]); P0 = jnp.eye(2) * 0.1
+    M = 20
+    filt = kalman_filter(A, C, Q, R, x0, P0, ys[:M])
+    sm = kalman_smoother(A, filt)
+    res = mhe_solve(A, C, Q, R, P0, x0, ys[:M])
+    assert res.xs.shape == (M + 1, 2)
+    np.testing.assert_allclose(np.asarray(res.xs[1:]), np.asarray(sm.means),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_mhe_with_inputs_matches_smoother(lti_data):
+    from numpower_tpu.models import mhe_solve
+
+    A, B, C, Q, R, _, _ = lti_data
+    M = 15
+    rng = np.random.default_rng(9)
+    us = jnp.asarray(0.3 * rng.standard_normal((M, 1)).astype(np.float32))
+    x0 = jnp.zeros(2)
+    An, Bn = np.asarray(A, np.float64), np.asarray(B, np.float64)
+    x = np.zeros(2); ys = []
+    for t in range(M):
+        x = An @ x + (Bn @ np.asarray(us[t])).ravel() + rng.normal(0, 0.01, 2)
+        ys.append([x[0] + rng.normal(0, 0.05)])
+    ys = jnp.asarray(np.array(ys, np.float32))
+    P0 = jnp.eye(2) * 0.2
+    filt = kalman_filter(A, C, Q, R, x0, P0, ys, B=B, us=us)
+    sm = kalman_smoother(A, filt)
+    res = mhe_solve(A, C, Q, R, P0, x0, ys, B=B, us=us)
+    np.testing.assert_allclose(np.asarray(res.xs[1:]), np.asarray(sm.means),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_mhe_state_bounds_bind(lti_data):
+    """Physical bound knowledge improves the estimate: with a velocity known
+    to be in [-0.5, 0.5], the constrained MHE estimate respects it while the
+    unconstrained one is pushed out of range by noisy measurements."""
+    from numpower_tpu.models import mhe_solve
+
+    A, B, C, Q, R, _, _ = lti_data
+    M = 15
+    rng = np.random.default_rng(10)
+    # true trajectory hugs the velocity bound
+    An = np.asarray(A, np.float64)
+    x = np.array([0.0, 0.45]); ys = []
+    for _ in range(M):
+        x = An @ x
+        ys.append([x[0] + rng.normal(0, 0.3)])  # very noisy position
+    ys = jnp.asarray(np.array(ys, np.float32))
+    P0 = jnp.eye(2) * 1.0
+    x_prior = jnp.array([0.0, 0.0])
+    r_un = mhe_solve(A, C, Q, R, P0, x_prior, ys)
+    r_c = mhe_solve(A, C, Q, R, P0, x_prior, ys,
+                    x_lo=jnp.array([-10.0, -0.5]),
+                    x_hi=jnp.array([10.0, 0.5]), iters=300)
+    assert np.abs(np.asarray(r_c.xs)[:, 1]).max() <= 0.5 + 1e-3
+    assert float(r_c.primal_residual) < 1e-2
+    # the constraint actually bound (the unconstrained optimum violates it)
+    assert np.abs(np.asarray(r_un.xs)[:, 1]).max() > 0.5
+    # restricting the feasible set cannot lower the optimum
+    assert float(r_c.objective) >= float(r_un.objective) - 1e-3
+
+
+def test_mhe_batched_and_jittable(lti_data):
+    from numpower_tpu.models import mhe_solve
+
+    A, B, C, Q, R, _, ys = lti_data
+    M = 10
+    x_priors = jnp.stack([jnp.array([1.0, 0.0]), jnp.array([0.0, 0.5])])
+    yss = jnp.stack([ys[:M], ys[5:5 + M]])
+    run = jax.jit(jax.vmap(
+        lambda xp, yw: mhe_solve(A, C, Q, R, jnp.eye(2) * 0.1, xp, yw).xs))
+    xs = run(x_priors, yss)
+    assert xs.shape == (2, M + 1, 2)
+    x0_single = mhe_solve(A, C, Q, R, jnp.eye(2) * 0.1, x_priors[0], yss[0]).xs
+    np.testing.assert_allclose(np.asarray(xs[0]), np.asarray(x0_single),
+                               rtol=1e-4, atol=1e-5)
