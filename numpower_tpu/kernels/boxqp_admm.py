@@ -164,3 +164,114 @@ def admm_boxqp_pallas(
     )(minvT, g_p, params, z0)
     z, y = out
     return z[:N, :d], y[:N, :d]
+
+
+def _admm_g_kernel(minvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref, z0_ref,
+                   out_ref, y_out_ref, g_out_ref, *, iters: int,
+                   coarse_iters: int):
+    """ADMM with IN-KERNEL g formation (kernels/boxqp_fista._fista_g_kernel
+    pattern): g = (x0 @ Sx') @ SuTQ' on the VMEM-resident prediction
+    matrices, then the iteration loop. Per tile the only HBM traffic is the
+    tiny x0 read and the (z, y, g) writes."""
+    rho = params_ref[0]
+    lo = params_ref[1]
+    hi = params_ref[2]
+    alpha = params_ref[3]
+    mid = jnp.dot(x0_ref[:], sxT_ref[:], precision=lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    g = jnp.dot(mid, suqT_ref[:], precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    g_out_ref[:] = g
+    minvT = minvT_ref[:]
+    z = z0_ref[:]
+    y = jnp.zeros_like(z)
+    for k in range(iters):
+        precision = (
+            lax.Precision.DEFAULT if k < coarse_iters else lax.Precision.HIGHEST
+        )
+        rhs = rho * (z - y) - g
+        x = jnp.dot(rhs, minvT, precision=precision,
+                    preferred_element_type=jnp.float32)
+        x_r = alpha * x + (1.0 - alpha) * z
+        z = jnp.clip(x_r + y, lo, hi)
+        y = y + x_r - z
+    out_ref[:] = z
+    y_out_ref[:] = y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "coarse_iters", "tile_n", "interpret")
+)
+def admm_mpc_pallas(
+    H: jax.Array,        # (d, d)
+    SxT: jax.Array,      # (n, Tn)  = Sx'
+    SuTQT: jax.Array,    # (Tn, d)  = (Su' Qbar)'
+    x0s: jax.Array,      # (N, n) scenario initial states
+    lo: jax.Array,
+    hi: jax.Array,
+    rho: jax.Array,
+    iters: int = 40,
+    coarse_iters: int = 0,
+    over_relax: float = 1.6,
+    tile_n: int = 1024,
+    interpret: bool = False,
+    Minv: Optional[jax.Array] = None,
+):
+    """End-to-end MPC ADMM tile solve: g formed IN KERNEL from x0.
+    Returns (z, y, g) so the caller can form residuals without re-deriving
+    g. Cold start z0 = clip(0, lo, hi) (matches the XLA scan path)."""
+    N, n = x0s.shape
+    d = H.shape[0]
+    tn = SxT.shape[1]
+    d_pad = _round_up(d, 128)
+    n_col_pad = _round_up(n, 128)
+    tn_pad = _round_up(tn, 128)
+    tile_n = min(tile_n, max(128, (1024 * 128) // d_pad))
+    tile_n = min(tile_n, _round_up(N, 8))
+    n_pad_batch = _round_up(N, tile_n)
+    dt = x0s.dtype
+
+    if Minv is None:
+        Minv = minv_factor(H, rho)
+    minvT = jnp.zeros((d_pad, d_pad), dt).at[:d, :d].set(Minv.T)
+    sxT = jnp.zeros((n_col_pad, tn_pad), dt).at[:n, :tn].set(SxT)
+    suqT = jnp.zeros((tn_pad, d_pad), dt).at[:tn, :d].set(SuTQT)
+    x0_p = jnp.zeros((n_pad_batch, n_col_pad), dt).at[:N, :n].set(x0s)
+    z0 = jnp.clip(jnp.zeros((n_pad_batch, d_pad), dt), lo, hi)
+    params = jnp.stack([
+        jnp.asarray(rho, jnp.float32), jnp.asarray(lo, jnp.float32),
+        jnp.asarray(hi, jnp.float32), jnp.asarray(over_relax, jnp.float32),
+    ])
+    kernel = functools.partial(
+        _admm_g_kernel, iters=iters, coarse_iters=min(coarse_iters, iters)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad_batch // tile_n,),
+        in_specs=[
+            pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, n_col_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_col_pad, tn_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad_batch, d_pad), dt),
+            jax.ShapeDtypeStruct((n_pad_batch, d_pad), dt),
+            jax.ShapeDtypeStruct((n_pad_batch, d_pad), dt),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad_batch * d_pad * d_pad * iters,
+            bytes_accessed=(d_pad * d_pad + 5 * n_pad_batch * d_pad) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(minvT, x0_p, sxT, suqT, params, z0)
+    z, y, g = out
+    return z[:N, :d], y[:N, :d], g[:N, :d]

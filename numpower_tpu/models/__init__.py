@@ -31,7 +31,7 @@ from numpower_tpu.models.mppi import (  # noqa: F401
 )
 from numpower_tpu.models.estimation import (  # noqa: F401
     KalmanResult, SmootherResult, kalman_filter, kalman_filter_batched,
-    kalman_filter_associative, kalman_smoother, ekf_filter,
+    kalman_filter_associative, kalman_smoother, ekf_filter, ukf_filter,
 )
 from numpower_tpu.models.mhe import MHEResult, mhe_solve  # noqa: F401
 from numpower_tpu.models.tube import TubeMPCResult, tube_mpc_solve  # noqa: F401

@@ -121,7 +121,6 @@ def solve_mpc_boxqp_admm(
     order FISTA which needs the kappa-scaled tail). Measured v5e: 50.3M
     solves/s vs 20.4M all-fp32 vs 16.2M XLA. Pass coarse_iters=0 to force
     all-fp32."""
-    g = gradient_offset(qp, x0s, x_ref)
     if rho is None:
         # geometric mean of the extreme eigenvalue bounds — the classic
         # condition-balanced ADMM penalty (qp.mu = lam_min(R) <= lam_min(H))
@@ -129,17 +128,30 @@ def solve_mpc_boxqp_admm(
     d = qp.H.shape[0]
     if method == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        method = "pallas" if (on_tpu and d <= 1024 and g.ndim == 2) else "xla"
+        method = "pallas" if (on_tpu and d <= 1024 and x0s.ndim == 2) else "xla"
     if method == "pallas":
-        from numpower_tpu.kernels.boxqp_admm import admm_boxqp_pallas, minv_factor
+        from numpower_tpu.kernels.boxqp_admm import (
+            admm_boxqp_pallas, admm_mpc_pallas, minv_factor,
+        )
 
         if coarse_iters is None:
             coarse_iters = max(0, iters - 12)
         over_relax = 1.6
         Minv = minv_factor(qp.H, rho)  # shared: kernel x-updates + residuals
-        z, y = admm_boxqp_pallas(qp.H, g, jnp.float32(u_lo), jnp.float32(u_hi),
-                                 rho, iters=iters, coarse_iters=coarse_iters,
-                                 over_relax=over_relax, U0=U0, Minv=Minv)
+        tn = qp.Sx.shape[0]
+        if (x_ref is None and U0 is None and x0s.ndim == 2 and tn <= 1024):
+            # fully fused: g formed in-kernel from x0 (boxqp.py pattern);
+            # the kernel emits g so it is never formed twice
+            z, y, g = admm_mpc_pallas(
+                qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(u_lo),
+                jnp.float32(u_hi), rho, iters=iters,
+                coarse_iters=coarse_iters, over_relax=over_relax, Minv=Minv)
+        else:
+            g = gradient_offset(qp, x0s, x_ref)
+            z, y = admm_boxqp_pallas(
+                qp.H, g, jnp.float32(u_lo), jnp.float32(u_hi), rho,
+                iters=iters, coarse_iters=coarse_iters,
+                over_relax=over_relax, U0=U0, Minv=Minv)
         # exact residuals via one XLA x-update at the final (z, y) — same
         # over-relaxed formulas as the solve_boxqp_admm scan path
         x = (rho * (z - y) - g) @ Minv.T
@@ -149,6 +161,7 @@ def solve_mpc_boxqp_admm(
         r_dual = rho * jnp.max(jnp.abs(z_next - z))
         return ADMMResult(U=z, iterations=jnp.asarray(iters),
                           primal_residual=r_prim, dual_residual=r_dual)
+    g = gradient_offset(qp, x0s, x_ref)
     return solve_boxqp_admm(qp.H, g, u_lo, u_hi, rho=rho, iters=iters, U0=U0)
 
 

@@ -319,3 +319,77 @@ def kalman_filter_associative(
     xs_p, Ps_p, lls = jax.vmap(predict_ll)(xs_prev, Ps_prev, ys, cs)
     return KalmanResult(means=xs_f, covs=Ps_f, pred_means=xs_p,
                         pred_covs=Ps_p, log_likelihood=jnp.sum(lls))
+
+
+def ukf_filter(
+    f: Callable,
+    h: Callable,
+    Q: jax.Array,
+    R: jax.Array,
+    x0: jax.Array,
+    P0: jax.Array,
+    ys: jax.Array,       # (T, p)
+    us: jax.Array,       # (T, m)
+    alpha: float = 1.0,
+    beta: float = 2.0,
+    kappa: float = 0.0,
+) -> KalmanResult:
+    """Unscented Kalman filter (Wan-Merwe sigma points).
+
+    Derivative-free alternative to ekf_filter for plants where
+    linearization is poor or f is not smooth: 2n+1 sigma points propagate
+    through f/h exactly (vmapped — one batched plant eval per step, MXU/VPU
+    friendly), means/covariances reconstruct from weighted sums. Defaults
+    alpha=1, kappa=0 (lambda=0, the cubature-style spread) are fp32-robust;
+    the unscented transform is EXACT for linear f/h, so on LTI plants this
+    reproduces kalman_filter (tested). Same scan structure and
+    log-likelihood as the other filters.
+    """
+    n = x0.shape[0]
+    dt = x0.dtype
+    lam = alpha * alpha * (n + kappa) - n
+    c = n + lam
+    wm = jnp.concatenate([
+        jnp.array([lam / c], dt), jnp.full((2 * n,), 0.5 / c, dt)])
+    wc = wm.at[0].add(1.0 - alpha * alpha + beta)
+
+    def sigma_points(x, P):
+        S = jnp.linalg.cholesky(c * (0.5 * (P + P.T))
+                                + 1e-9 * jnp.eye(n, dtype=dt))
+        return jnp.concatenate([x[None], x + S.T, x - S.T], axis=0)  # (2n+1, n)
+
+    def step(carry, inputs):
+        x, P, ll = carry
+        y, u = inputs
+        # predict: propagate sigma points through f
+        pts = sigma_points(x, P)
+        pts_f = jax.vmap(lambda s: f(s, u))(pts)
+        x_p = wm @ pts_f
+        dX = pts_f - x_p
+        P_p = (wc[:, None] * dX).T @ dX + Q
+        P_p = 0.5 * (P_p + P_p.T)
+        # update: re-draw sigma points from the predicted density
+        pts2 = sigma_points(x_p, P_p)
+        pts_h = jax.vmap(h)(pts2)
+        y_p = wm @ pts_h
+        dY = pts_h - y_p
+        S = (wc[:, None] * dY).T @ dY + R
+        S = 0.5 * (S + S.T)
+        Pxy = (wc[:, None] * (pts2 - x_p)).T @ dY
+        L = jnp.linalg.cholesky(S)
+        # K = Pxy S^{-1}  ->  K' = S^{-1} Pxy'
+        K_T = jax.scipy.linalg.cho_solve((L, True), Pxy.T)
+        v = y - y_p
+        x_f = x_p + K_T.T @ v
+        P_f = P_p - K_T.T @ S @ K_T
+        P_f = 0.5 * (P_f + P_f.T)
+        alpha_w = jax.scipy.linalg.solve_triangular(L, v, lower=True)
+        p = y.shape[0]
+        l = -0.5 * (alpha_w @ alpha_w + p * jnp.log(2.0 * jnp.pi)) - jnp.sum(
+            jnp.log(jnp.diagonal(L)))
+        return (x_f, P_f, ll + l), (x_f, P_f, x_p, P_p)
+
+    (_, _, ll), (xs_f, Ps_f, xs_p, Ps_p) = lax.scan(
+        step, (x0, P0, jnp.asarray(0.0, dt)), (ys, us))
+    return KalmanResult(means=xs_f, covs=Ps_f, pred_means=xs_p,
+                        pred_covs=Ps_p, log_likelihood=ll)

@@ -325,3 +325,51 @@ def test_mhe_batched_and_jittable(lti_data):
     x0_single = mhe_solve(A, C, Q, R, jnp.eye(2) * 0.1, x_priors[0], yss[0]).xs
     np.testing.assert_allclose(np.asarray(xs[0]), np.asarray(x0_single),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- UKF
+
+def test_ukf_equals_kf_on_linear_system(lti_data):
+    """The unscented transform is exact for linear f/h, so UKF == KF."""
+    from numpower_tpu.models import ukf_filter
+
+    A, B, C, Q, R, _, ys = lti_data
+    T = 30
+    x0 = jnp.array([1.0, 0.0]); P0 = jnp.eye(2) * 0.1
+    us = jnp.zeros((T, 1))
+    f = lambda x, u: A @ x + B @ u
+    h = lambda x: C @ x
+    kf = kalman_filter(A, C, Q, R, x0, P0, ys[:T])
+    uk = ukf_filter(f, h, Q, R, x0, P0, ys[:T], us)
+    np.testing.assert_allclose(np.asarray(uk.means), np.asarray(kf.means),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(uk.covs), np.asarray(kf.covs),
+                               rtol=5e-3, atol=5e-5)
+    np.testing.assert_allclose(float(uk.log_likelihood),
+                               float(kf.log_likelihood), rtol=1e-3)
+
+
+def test_ukf_pendulum_tracks_like_ekf():
+    from numpower_tpu.models import ukf_filter
+
+    rng = np.random.default_rng(5)
+    T = 60
+    us = jnp.asarray(0.5 * np.sin(0.3 * np.arange(T)).astype(np.float32)
+                     ).reshape(T, 1)
+    xs_true = rollout_nonlinear(pendulum_step, jnp.array([0.5, 0.0]), us)
+    ys = jnp.asarray(np.asarray(xs_true[1:, 0]).reshape(T, 1)
+                     + 0.05 * rng.standard_normal((T, 1)).astype(np.float32))
+    h = lambda x: x[:1]
+    Q = jnp.eye(2) * 1e-4
+    R = jnp.eye(1) * 2.5e-3
+    r_ukf = ukf_filter(pendulum_step, h, Q, R, jnp.array([0.0, 0.0]),
+                       jnp.eye(2) * 1.0, ys, us)
+    r_ekf = ekf_filter(pendulum_step, h, Q, R, jnp.array([0.0, 0.0]),
+                       jnp.eye(2) * 1.0, ys, us)
+    e_ukf = np.abs(np.asarray(r_ukf.means)[:, 0]
+                   - np.asarray(xs_true)[1:, 0]).mean()
+    e_ekf = np.abs(np.asarray(r_ekf.means)[:, 0]
+                   - np.asarray(xs_true)[1:, 0]).mean()
+    assert e_ukf < 0.05
+    assert e_ukf < 2.0 * e_ekf  # comparable accuracy on a smooth plant
+    assert np.isfinite(float(r_ukf.log_likelihood))

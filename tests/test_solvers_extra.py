@@ -258,6 +258,33 @@ def test_admm_pallas_kernel_matches_xla(quad):
                                atol=1e-4)
 
 
+def test_admm_mpc_pallas_fused_g_matches_two_step(quad):
+    """Fused-g ADMM kernel (g formed in-kernel from x0) must match the
+    two-step kernel and emit the correct g."""
+    from numpower_tpu.kernels.boxqp_admm import (
+        admm_boxqp_pallas, admm_mpc_pallas,
+    )
+
+    A, B = quad
+    qp = condense(A, B, jnp.eye(12), jnp.eye(4) * 0.1, jnp.eye(12) * 5.0, 10)
+    rng = np.random.default_rng(17)
+    x0s = jnp.asarray(rng.standard_normal((5, 12)).astype(np.float32))
+    g_ref = gradient_offset(qp, x0s)
+    rho = jnp.sqrt(qp.lipschitz * qp.mu)
+    z1, y1, g1 = admm_mpc_pallas(qp.H, qp.Sx.T, qp.SuTQ.T, x0s,
+                                 jnp.float32(-0.5), jnp.float32(0.5), rho,
+                                 iters=50, tile_n=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+    z2, y2 = admm_boxqp_pallas(qp.H, g_ref, jnp.float32(-0.5),
+                               jnp.float32(0.5), rho, iters=50, tile_n=8,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_admm_pallas_bf16_coarse_holds_parity(quad):
     """bf16-coarse x-updates + fp32 tail must still meet the parity bound."""
     from numpower_tpu.kernels.boxqp_admm import admm_boxqp_pallas
