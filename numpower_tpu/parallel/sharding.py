@@ -159,3 +159,64 @@ def sweep_statistics_dp(xs_scenarios: jax.Array, mesh: Mesh):
         per_device, mesh=mesh, in_specs=(P(data_ax),), out_specs=(P(), P())
     )
     return jax.jit(mapped)(xs_scenarios)
+
+
+def solve_mpc_boxqp_admm_dp(
+    qp: CondensedQP,
+    x0s: jax.Array,
+    u_lo: float,
+    u_hi: float,
+    mesh: Mesh,
+    rho=None,
+    iters: int = 40,
+):
+    """Data-parallel ADMM box-QP: scenarios over the `data` axis.
+
+    The exact-solve splitting's factorization (Minv = (H + rho I)^{-1}) is
+    computed ONCE and replicated; each device runs the iteration scan on its
+    scenario shard (one local GEMM per iteration). Residuals are pmax'd over
+    the data axis so every device reports the global sweep residual.
+    Mirrors solve_mpc_boxqp_dp for the ADMM family (models/admm.py).
+    """
+    from numpower_tpu.kernels.boxqp_admm import minv_factor
+    from numpower_tpu.models.admm import ADMMResult
+
+    data_ax = mesh.axis_names[0]
+    if rho is None:
+        rho = jnp.sqrt(qp.lipschitz * jnp.maximum(qp.mu, 1e-12))
+    Minv = minv_factor(qp.H, rho)
+    over_relax = 1.6
+
+    def per_device(Minv, SuTQ, Sx, rho_s, x0s_shard):
+        g = (SuTQ @ (Sx @ x0s_shard.T)).T          # (n_local, d)
+        z = jnp.clip(jnp.zeros_like(g), u_lo, u_hi)
+        y = jnp.zeros_like(g)
+
+        def body(carry, _):
+            z, y = carry
+            rhs = rho_s * (z - y) - g
+            x = rhs @ Minv.T
+            x_r = over_relax * x + (1.0 - over_relax) * z
+            z_new = jnp.clip(x_r + y, u_lo, u_hi)
+            y_new = y + x_r - z_new
+            return (z_new, y_new), None
+
+        (z, y), _ = jax.lax.scan(body, (z, y), None, length=iters)
+        x = (rho_s * (z - y) - g) @ Minv.T
+        rp = jax.lax.pmax(jnp.max(jnp.abs(x - z)), axis_name=data_ax)
+        z_next = jnp.clip(over_relax * x + (1.0 - over_relax) * z + y,
+                          u_lo, u_hi)
+        rd = jax.lax.pmax(rho_s * jnp.max(jnp.abs(z_next - z)),
+                          axis_name=data_ax)
+        return z, rp, rd
+
+    mapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(data_ax)),
+        out_specs=(P(data_ax), P(), P()),
+    )
+    z, rp, rd = jax.jit(mapped)(Minv, qp.SuTQ, qp.Sx,
+                                jnp.asarray(rho, jnp.float32), x0s)
+    return ADMMResult(U=z, iterations=jnp.asarray(iters),
+                      primal_residual=rp, dual_residual=rd)

@@ -130,3 +130,25 @@ def test_graft_entry_forward():
     out = jax.jit(fn)(*args)
     assert out.shape == (256, 120)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_dp_admm_solver_matches_single_device():
+    """Sharded DP ADMM must equal the single-device ADMM solve."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from numpower_tpu.models import condense, double_integrator, solve_mpc_boxqp_admm
+    from numpower_tpu.parallel import make_mesh, shard_batch, solve_mpc_boxqp_admm_dp
+
+    A, B = double_integrator(0.1)
+    qp = condense(A, B, jnp.eye(2), jnp.eye(1) * 0.1, jnp.eye(2) * 10.0, 12)
+    mesh = make_mesh((8, 1))
+    x0s = jnp.asarray(
+        np.random.default_rng(3).standard_normal((32, 2)).astype(np.float32))
+    r_dp = solve_mpc_boxqp_admm_dp(qp, shard_batch(x0s, mesh), -0.5, 0.5,
+                                   mesh, iters=100)
+    r_1d = solve_mpc_boxqp_admm(qp, x0s, -0.5, 0.5, iters=100, method="xla")
+    np.testing.assert_allclose(np.asarray(r_dp.U), np.asarray(r_1d.U),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(r_dp.primal_residual),
+                               float(r_1d.primal_residual), atol=1e-5)
