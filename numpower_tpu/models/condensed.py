@@ -47,6 +47,12 @@ class CondensedQP:
     T: int = flax.struct.field(pytree_node=False)
     n: int = flax.struct.field(pytree_node=False)
     m: int = flax.struct.field(pytree_node=False)
+    # Static condition-number bound lipschitz/mu, snapshotted at condense()
+    # time (where it is concrete). Because it is aux data, jitted consumers
+    # can derive a STATIC mixed-precision schedule from it without a device
+    # readback (see default_coarse_iters). None when condense() itself was
+    # traced.
+    kappa: Optional[float] = flax.struct.field(pytree_node=False, default=None)
 
 
 def prediction_matrices(A, B, horizon: int):
@@ -105,8 +111,16 @@ def condense(A, B, Q, R, QF, horizon: int) -> CondensedQP:
     # Consumers use lipschitz/mu as the condition-number bound to size the
     # fp32 tail of mixed-precision solves and the ADMM penalty rho.
     mu = jnp.linalg.eigvalsh(0.5 * (R + R.T))[0].astype(H.dtype)
+    try:
+        # Concrete at eager condense() time: one setup-time scalar readback
+        # buys every downstream jitted solve a static schedule (no warning,
+        # no lost bf16 phase). Under a traced condense() this stays None.
+        kappa = max(float(lmax) / max(float(mu), 1e-12), 1.0)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError, TypeError):
+        kappa = None
     return CondensedQP(H=H, Sx=Sx, Su=Su, SuTQ=SuTQ, T=T, n=n, m=m,
-                       lipschitz=lmax, mu=mu)
+                       lipschitz=lmax, mu=mu, kappa=kappa)
 
 
 def default_coarse_iters(qp: CondensedQP, iters: int) -> int:
@@ -119,26 +133,31 @@ def default_coarse_iters(qp: CondensedQP, iters: int) -> int:
     gives ~1e-5 error at kappa=37 and reduces to the long-validated 12-13
     iteration tail on the well-conditioned flagship QP (kappa~3.6).
 
-    Needs CONCRETE lipschitz/mu (trip counts are static): the two float()
-    calls are scalar device->host readbacks, so call this once at setup
-    time, not on the tick path. When qp is a jit tracer, falls back to an
-    all-fp32 schedule (coarse=0) with a one-time warning — callers inside
-    jit should pass coarse_iters explicitly to keep the ~6x bf16 speedup.
+    Jit-safe: qp.kappa is STATIC aux data snapshotted at condense() time, so
+    this works under jit with no device readback — traced callers keep the
+    ~6x bf16 coarse phase automatically. Only when condense() itself was
+    traced (kappa=None) does it fall back to reading lipschitz/mu, and if
+    those are tracers too, to an all-fp32 schedule with a one-time warning.
     """
     import math
 
-    try:
-        kappa = max(float(qp.lipschitz) / max(float(qp.mu), 1e-12), 1.0)
-    except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError, TypeError):
-        import warnings
+    if qp.kappa is not None:
+        kappa = qp.kappa
+    else:
+        try:
+            kappa = max(float(qp.lipschitz) / max(float(qp.mu), 1e-12), 1.0)
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError, TypeError):
+            import warnings
 
-        warnings.warn(
-            "default_coarse_iters called with a traced CondensedQP: falling "
-            "back to all-fp32 (no bf16 coarse phase, ~6x slower hot GEMMs). "
-            "Compute the schedule eagerly and pass coarse_iters= explicitly.",
-            stacklevel=3,
-        )
-        return 0
+            warnings.warn(
+                "default_coarse_iters called with a traced CondensedQP that "
+                "has no static kappa: falling back to all-fp32 (no bf16 "
+                "coarse phase, ~6x slower hot GEMMs). Condense eagerly or "
+                "pass coarse_iters= explicitly.",
+                stacklevel=3,
+            )
+            return 0
     tail = max(12, math.ceil(6.5 * math.sqrt(kappa)))
     return max(0, iters - tail)
 

@@ -35,7 +35,8 @@ from numpower_tpu.ops.manipulation import (  # noqa: F401
 )
 from numpower_tpu.ops.linalg import (  # noqa: F401
     matmul, dot, inner, outer, trace, cholesky, solve, solve_triangular,
-    cho_solve, inv, det, lu, qr, svd, svdvals, eig, eigh, eigvals, norm,
+    cho_solve, inv, det, lu, qr, svd, svdvals, eig, eig_complex, eigh,
+    eigvals, norm,
     cond, matrix_rank, lstsq, pinv, matrix_power, kron, einsum,
 )
 from numpower_tpu.ops.signal import convolve2d, correlate2d, convolve1d  # noqa: F401

@@ -134,16 +134,39 @@ def svdvals(a) -> jax.Array:
     return jnp.linalg.svd(asarray(a), compute_uv=False)
 
 
-def eig(a):
-    """NDArray_Eig (linalg.c:770-838) — LAPACKE_sgeev (GPU path disabled in
-    the reference, linalg.c:826-833). XLA:TPU has no nonsymmetric eig
-    primitive, so this runs as a host pure_callback (documented divergence);
-    use eigh for the symmetric case, which is TPU-native."""
+def _eig_host(a: np.ndarray):
+    """Host-side sgeev analogue. Runs on CPU inside jax.pure_callback."""
+    w, v = np.linalg.eig(np.asarray(a))
+    return w.astype(np.complex64), v.astype(np.complex64)
+
+
+def eig_complex(a) -> Tuple[jax.Array, jax.Array]:
+    """Full complex nonsymmetric eig — jittable and vmap-able.
+
+    XLA:TPU has no nonsymmetric eig primitive, so LAPACK geev runs on the
+    host via jax.pure_callback (the documented TPU-native design for ops with
+    no device lowering). Returns complex64 (w, v) — a superset of the
+    reference, which discards imaginary parts (linalg.c:770-838 frees the
+    wi buffer `wivectors` unread)."""
     a = asarray(a)
-    w, v = np.linalg.eig(np.asarray(jax.device_get(a)))
-    if np.allclose(w.imag, 0) and np.allclose(v.imag, 0):
-        w, v = w.real.astype(a.dtype), v.real.astype(a.dtype)
-    return jnp.asarray(w), jnp.asarray(v)
+    out_spec = (
+        jax.ShapeDtypeStruct(a.shape[:-1], jnp.complex64),
+        jax.ShapeDtypeStruct(a.shape, jnp.complex64),
+    )
+    return jax.pure_callback(_eig_host, out_spec, a,
+                             vmap_method="expand_dims")
+
+
+def eig(a) -> Tuple[jax.Array, jax.Array]:
+    """NDArray_Eig (linalg.c:770-838) — LAPACKE_sgeev (GPU path disabled in
+    the reference, linalg.c:826-833). Jittable: runs as a host pure_callback
+    (see eig_complex). Matches reference semantics exactly: imaginary parts
+    are discarded (the reference frees the `wivectors` wi buffer unread), so
+    the return is real fp32. Use eig_complex for the full complex spectrum,
+    or eigh for the symmetric case (TPU-native)."""
+    a = asarray(a)
+    w, v = eig_complex(a)
+    return jnp.real(w).astype(a.dtype), jnp.real(v).astype(a.dtype)
 
 
 def eigh(a):

