@@ -52,7 +52,14 @@ class MPCController:
         else:
             self.coarse_iters = int(coarse_iters)
         self.x_ref = x_ref
-        self._step = jax.jit(self._step_impl)
+        # Donate the warm-start state (arg 1): U_prev is (N, T*m) — the
+        # largest tick-path buffer — and a new one of identical shape/dtype
+        # is returned every tick, so donation lets XLA reuse the allocation
+        # in place of an alloc+free per tick (SURVEY.md §7 "donation to
+        # avoid allocs"). Callers must thread the returned state (the
+        # donated input buffer is invalidated), which `step`'s API already
+        # enforces.
+        self._step = jax.jit(self._step_impl, donate_argnums=(1,))
 
     def init(self, n_scenarios: int) -> MPCState:
         d = self.qp.T * self.qp.m
@@ -77,9 +84,20 @@ class MPCController:
         return u0, MPCState(U_prev=res.U, tick=state.tick + 1), res.residual
 
     def step(self, state: MPCState, x0s: jax.Array):
-        """One tick: returns ((N, m) first-stage controls, new state)."""
+        """One tick: returns ((N, m) first-stage controls, new state).
+
+        `state` is DONATED to the jitted step — do not reuse the passed-in
+        state object after this call; thread the returned one."""
         u0, new_state, _ = self._step(self.qp, state, x0s)
         return u0, new_state
+
+    def compile_cache_size(self) -> int:
+        """Number of distinct compiled executables behind the tick step.
+        In steady state this must stay 1 (one batch shape): any growth means
+        the serving path is RETRACING — shape/dtype churn or accidental
+        python-object identity leaks — and blowing the latency budget.
+        Asserted by tests/test_mpc.py::test_controller_no_retrace."""
+        return self._step._cache_size()
 
     def step_with_residual(self, state: MPCState, x0s: jax.Array):
         return self._step(self.qp, state, x0s)

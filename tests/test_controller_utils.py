@@ -82,3 +82,42 @@ def test_time_compiled_returns_positive():
     x = jnp.ones((64, 64))
     dt = time_compiled(f, x, reps=2, inner=(2, 12))
     assert dt > 0
+
+
+def test_controller_no_retrace_steady_state():
+    """SURVEY.md §4 / VERDICT r1 #3: the serving tick must not recompile in
+    steady state. 10 ticks with changing data -> exactly ONE compiled
+    executable behind the jitted step."""
+    A, B = double_integrator(0.1)
+    ctrl = MPCController(A, B, np.eye(2, dtype=np.float32),
+                         np.eye(1, dtype=np.float32) * 0.1,
+                         np.eye(2, dtype=np.float32) * 10.0,
+                         horizon=12, u_lo=-1.0, u_hi=1.0, iters=10)
+    rng = np.random.default_rng(2)
+    state = ctrl.init(4)
+    A_j, B_j = jnp.asarray(A), jnp.asarray(B)
+    x = jnp.asarray(rng.standard_normal((4, 2)).astype(np.float32))
+    u0, state = ctrl.step(state, x)  # warmup: the one allowed compile
+    assert ctrl.compile_cache_size() == 1
+    for _ in range(10):
+        x = x @ A_j.T + u0 @ B_j.T + jnp.asarray(
+            0.01 * rng.standard_normal((4, 2)).astype(np.float32))
+        u0, state = ctrl.step(state, x)
+    assert ctrl.compile_cache_size() == 1, "serving tick retraced"
+
+
+def test_controller_state_donated():
+    """The warm-start state buffer is donated to the tick step: the donated
+    input must be invalidated after the call (proof the donation is live,
+    not silently dropped)."""
+    A, B = double_integrator(0.1)
+    ctrl = MPCController(A, B, np.eye(2, dtype=np.float32),
+                         np.eye(1, dtype=np.float32) * 0.1,
+                         np.eye(2, dtype=np.float32) * 10.0,
+                         horizon=12, u_lo=-1.0, u_hi=1.0, iters=10)
+    state = ctrl.init(4)
+    x = jnp.zeros((4, 2), jnp.float32)
+    old_u_prev = state.U_prev
+    _, new_state = ctrl.step(state, x)
+    assert new_state.U_prev.shape == old_u_prev.shape
+    assert old_u_prev.is_deleted(), "donated warm-start buffer still live"
