@@ -43,11 +43,17 @@ def _readback(out):
     return float(leaf.ravel()[0])
 
 
-def _device_time_per_call(body_fn, args, K: int = 64, reps: int = 5):
+def _device_time_per_call(body_fn, args, K: int = 64, reps: int = 5,
+                          return_stats: bool = False):
     """TRUE device seconds per body invocation: run K data-dependent body
     iterations inside ONE jitted scan (single dispatch), subtract the no-op
     scan baseline (pure host<->device RTT), divide by K. Immune to both the
-    relay's optimistic block_until_ready and its ~25 ms readback RTT."""
+    relay's optimistic block_until_ready and its ~25 ms readback RTT.
+
+    Variance-bounded (VERDICT r1 #9): >=5 in-process repeats; returns the
+    MEDIAN per-call time (robust to the relay's ±2x run-to-run noise), and
+    with return_stats=True also the IQR so round-over-round deltas are
+    separable from noise."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -63,18 +69,25 @@ def _device_time_per_call(body_fn, args, K: int = 64, reps: int = 5):
 
         return rep
 
-    def run_min(rep):
+    n = max(int(reps), 5)
+
+    def run_times(rep):
         float(jax.device_get(rep(*args)))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
+        ts = []
+        for _ in range(n):
             t = time.perf_counter()
             float(jax.device_get(rep(*args)))
-            best = min(best, time.perf_counter() - t)
-        return best
+            ts.append(time.perf_counter() - t)
+        return ts
 
-    baseline = run_min(make_rep(lambda *a: a[-1]))
-    total = run_min(make_rep(body_fn))
-    return max((total - baseline) / K, 1e-9)
+    baseline = float(np.median(run_times(make_rep(lambda *a: a[-1]))))
+    totals = run_times(make_rep(body_fn))
+    per_call = np.maximum((np.asarray(totals) - baseline) / K, 1e-9)
+    med = float(np.median(per_call))
+    if return_stats:
+        q25, q75 = np.percentile(per_call, [25, 75])
+        return med, float(q75 - q25)
+    return med
 
 
 def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
@@ -114,12 +127,14 @@ def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
         return solve_mpc_boxqp(qp, x0s + i * 1e-6, -1.0, 1.0, iters=iters,
                                coarse_iters=ci).U[0, 0]
 
-    per_batch = _device_time_per_call(body, (qp, x0s), K=32 if scenarios <= 512 else 64,
-                                      reps=reps)
+    per_batch, iqr_f = _device_time_per_call(
+        body, (qp, x0s), K=32 if scenarios <= 512 else 64, reps=reps,
+        return_stats=True)
     solves_per_sec = scenarios / per_batch
     _log(
         f"[flagship] quadrotor h={horizon} N={scenarios} iters={iters} (FISTA): "
-        f"{per_batch*1e6:.1f} us/batch device time -> {solves_per_sec:,.0f} solves/s/chip"
+        f"{per_batch*1e6:.1f} us/batch median (IQR {iqr_f*1e6:.1f} us) "
+        f"-> {solves_per_sec:,.0f} solves/s/chip"
     )
 
     # same QP via fused ADMM (exact-solve splitting; converges tighter at the
@@ -131,12 +146,14 @@ def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
         return solve_mpc_boxqp_admm(qp, x0s + i * 1e-6, -1.0, 1.0,
                                     iters=iters).U[0, 0]
 
-    per_admm = _device_time_per_call(body_admm, (qp, x0s),
-                                     K=32 if scenarios <= 512 else 64, reps=reps)
+    per_admm, iqr_a = _device_time_per_call(
+        body_admm, (qp, x0s), K=32 if scenarios <= 512 else 64, reps=reps,
+        return_stats=True)
     admm_per_sec = scenarios / per_admm
     _log(
         f"[flagship] quadrotor h={horizon} N={scenarios} iters={iters} (ADMM):  "
-        f"{per_admm*1e6:.1f} us/batch device time -> {admm_per_sec:,.0f} solves/s/chip"
+        f"{per_admm*1e6:.1f} us/batch median (IQR {iqr_a*1e6:.1f} us) "
+        f"-> {admm_per_sec:,.0f} solves/s/chip"
     )
     if admm_per_sec > solves_per_sec:
         solves_per_sec, per_batch = admm_per_sec, per_admm
@@ -406,6 +423,33 @@ def bench_tube(scenarios: int, reps: int):
         f"[config5] tube-MPC sweep N={scenarios}: {t*1e3:.3f} ms/sweep device "
         f"-> {scenarios/t:,.0f} scenario-rollouts/s"
     )
+
+    # Host-fed variant: the C++ ScenarioStream generates each sweep's
+    # disturbance batch in worker threads (double-buffered ring) while the
+    # device solves the previous one — jax's async dispatch overlaps the
+    # device_put + solve with the next batch's RNG, so the sweep never
+    # stalls on host generation (runtime/src/scenario_stream.cpp).
+    from numpower_tpu.runtime.stream import ScenarioStream
+
+    solve = jax.jit(lambda qp, x0, w: tube_mpc_solve(
+        qp, A, B, Q, R, x0, w, -1.0, 1.0).tube_radius[0])
+    n_batches = 8
+    with ScenarioStream(batch=scenarios, shape=(20, 12), seed=0,
+                        dist="normal", scale=0.002) as stream:
+        w0 = jnp.asarray(next(stream))
+        float(jax.device_get(solve(qp, x0, w0)))  # compile + warm
+        t0 = time.perf_counter()
+        outs = []
+        for _, wb in zip(range(n_batches), stream):
+            outs.append(solve(qp, x0, jnp.asarray(wb)))
+        for o in outs:
+            float(jax.device_get(o))
+        dt = (time.perf_counter() - t0) / n_batches
+        _log(
+            f"[config5] host-fed sweep ({'native' if stream.native else 'numpy'}"
+            f" stream, {n_batches} batches): {dt*1e3:.3f} ms/sweep wall "
+            f"-> {scenarios/dt:,.0f} scenario-rollouts/s end-to-end"
+        )
 
 
 def bench_micro(reps: int):

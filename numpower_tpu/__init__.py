@@ -25,4 +25,4 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "highest")
 
 from numpower_tpu import ops  # noqa: F401
-from numpower_tpu.ndarray import NDArray, nd  # noqa: F401
+from numpower_tpu.ndarray import ArithmeticOperand, NDArray, nd  # noqa: F401

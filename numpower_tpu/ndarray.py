@@ -44,10 +44,15 @@ def _wrap(x):
 
 
 def _accel_device() -> Optional[jax.Device]:
-    for d in jax.devices():
-        if d.platform != "cpu":
-            return d
-    return None
+    """The accelerator selected by NDArray.setDevice (reference
+    numpower.c:615-635 — cudaSetDevice is a global device switch honored by
+    subsequent placements). Index is modulo the accelerator count so a
+    single-chip host accepts any index, like CUDA's device-count clamp
+    raises; we prefer graceful wraparound for portability."""
+    accels = [d for d in jax.devices() if d.platform != "cpu"]
+    if not accels:
+        return None
+    return accels[NDArray._default_device_index % len(accels)]
 
 
 class NDArray:
@@ -153,20 +158,45 @@ class NDArray:
 
     # -- constructors (static, mirroring nd:: surface) ----------------------
     @staticmethod
+    def _check_shape(shape, method: str):
+        """Reference-style shape validation with the reference's messages
+        (tests/random/001-ndarray-standard_normal.phpt asserts these
+        verbatim: "must be of type array", "Shape elements must be
+        integers.", "Expected a non-empty array."). The functional ops layer
+        stays permissive (jax-idiomatic); this strictness lives only on the
+        NDArray compat surface."""
+        if isinstance(shape, (str, bytes)) or not hasattr(shape, "__iter__"):
+            raise TypeError(
+                f"NDArray::{method}(): Argument #1 ($shape) must be of type "
+                f"array, {type(shape).__name__} given"
+            )
+        shape = tuple(shape)
+        if len(shape) == 0:
+            raise ValueError("Invalid parameter: Expected a non-empty array.")
+        for s in shape:
+            if isinstance(s, bool) or not isinstance(s, (int, np.integer)):
+                raise ValueError(
+                    "Invalid parameter: Shape elements must be integers.")
+            if s < 0:
+                raise ValueError(
+                    "Invalid parameter: Shape elements must be non-negative.")
+        return shape
+
+    @staticmethod
     def array(obj, dtype=None) -> "NDArray":
         return NDArray(obj, dtype=dtype)
 
     @staticmethod
     def zeros(shape) -> "NDArray":
-        return NDArray(ops.zeros(shape))
+        return NDArray(ops.zeros(NDArray._check_shape(shape, "zeros")))
 
     @staticmethod
     def ones(shape) -> "NDArray":
-        return NDArray(ops.ones(shape))
+        return NDArray(ops.ones(NDArray._check_shape(shape, "ones")))
 
     @staticmethod
     def full(shape, value) -> "NDArray":
-        return NDArray(ops.full(shape, value))
+        return NDArray(ops.full(NDArray._check_shape(shape, "full"), value))
 
     @staticmethod
     def identity(n: int) -> "NDArray":
@@ -183,23 +213,28 @@ class NDArray:
 
     @staticmethod
     def uniform(shape, low: float = 0.0, high: float = 1.0) -> "NDArray":
-        return NDArray(ops.random.uniform(shape, low, high))
+        return NDArray(ops.random.uniform(
+            NDArray._check_shape(shape, "uniform"), low, high))
 
     @staticmethod
     def normal(shape, loc: float = 0.0, scale: float = 1.0) -> "NDArray":
-        return NDArray(ops.random.normal(shape, loc, scale))
+        return NDArray(ops.random.normal(
+            NDArray._check_shape(shape, "normal"), loc, scale))
 
     @staticmethod
     def standard_normal(shape) -> "NDArray":
-        return NDArray(ops.random.standard_normal(shape))
+        return NDArray(ops.random.standard_normal(
+            NDArray._check_shape(shape, "standard_normal")))
 
     @staticmethod
     def poisson(shape, lam: float = 1.0) -> "NDArray":
-        return NDArray(ops.random.poisson(shape, lam))
+        return NDArray(ops.random.poisson(
+            NDArray._check_shape(shape, "poisson"), lam))
 
     @staticmethod
     def random_binomial(shape, n: int, p: float) -> "NDArray":
-        return NDArray(ops.random.random_binomial(shape, n, p))
+        return NDArray(ops.random.random_binomial(
+            NDArray._check_shape(shape, "random_binomial"), n, p))
 
     @staticmethod
     def load(path: str) -> "NDArray":
@@ -728,6 +763,19 @@ class NDArray:
         from numpower_tpu import runtime
 
         self._uuid = runtime.register(self._value.nbytes)
+
+
+class ArithmeticOperand:
+    """Compat shim for the reference's `ArithmeticOperand` helper class —
+    registered alongside NDArray (numpower.c:5030, :5228-5244) with a no-arg
+    constructor and no other methods (numpower.c:410-417). It exists in the
+    reference as a placeholder operand type for the Zend operator-overload
+    machinery; nothing in the reference's own tests or stubs ever
+    instantiates it with state. Mirrored here so code porting over the full
+    class surface finds it."""
+
+    def __init__(self) -> None:
+        pass
 
 
 # Short alias matching the reference's `use NDArray as nd;` idiom.

@@ -38,11 +38,27 @@ def save(path: str, a) -> None:
     np.save(path, arr, allow_pickle=False)
 
 
+# Below this size np.load's overhead is noise; above it the native mmap
+# reader (one header parse + one bulk memcpy out of a read-only mapping)
+# avoids np.load's buffered-read path.
+_FAST_READ_MIN_BYTES = 1 << 20
+
+
 def load(path: str) -> jax.Array:
     """nd::load — .npy from disk (reference ndarray.c:1378-1404, minus its
-    unallocated-pointer bugs)."""
+    unallocated-pointer bugs). Large files route through the native mmap'd
+    reader (runtime.npy_read_fast) when the C++ runtime is available."""
     if not os.path.exists(path) and os.path.exists(path + ".npy"):
         path = path + ".npy"
+    if os.path.getsize(path) >= _FAST_READ_MIN_BYTES:
+        try:
+            from numpower_tpu.runtime import npy_read_fast
+
+            arr = npy_read_fast(path)
+            if arr is not None:
+                return jnp.asarray(arr)
+        except Exception:
+            pass
     arr = np.load(path, allow_pickle=False)
     return jnp.asarray(arr)
 

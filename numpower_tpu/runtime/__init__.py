@@ -191,3 +191,37 @@ def npy_save_fast(path: str, arr) -> bool:
         arr.ctypes.data_as(ctypes.c_void_p), arr.nbytes,
     )
     return rc == 0
+
+
+def npy_read_fast(path: str):
+    """mmap'd .npy reader (nptpu_npy_read): the header is parsed in Python
+    (cheap), the data block is bulk-copied out of a read-only mapping in C++
+    — one memcpy, no Python-level buffering. Returns the ndarray, or None if
+    the native lib is unavailable or the file needs np.load's slow paths
+    (fortran order, object dtype, unknown version) — caller falls back."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        with open(path, "rb") as f:
+            version = np.lib.format.read_magic(f)
+            if version == (1, 0):
+                shape, fortran, dtype = np.lib.format.read_array_header_1_0(f)
+            elif version == (2, 0):
+                shape, fortran, dtype = np.lib.format.read_array_header_2_0(f)
+            else:
+                return None
+            offset = f.tell()
+    except Exception:
+        return None
+    if fortran or dtype.hasobject:
+        return None
+    arr = np.empty(shape, dtype)
+    if arr.nbytes == 0:
+        return arr
+    rc = lib.nptpu_npy_read(
+        path.encode(), offset, arr.ctypes.data_as(ctypes.c_void_p), arr.nbytes
+    )
+    return arr if rc == 0 else None

@@ -24,3 +24,29 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Leak-mode gate (reference CI job `test_leak`, main.yml:75-138 —
+    USE_ZEND_ALLOC=1 + NDARRAY_FREEBUFFER=1 makes the Zend debug allocator
+    report per-request leaks). Analogue here: with NPTPU_LEAK_GATE=1 the
+    whole suite runs with the buffer registry live, then after a forced GC
+    every registered NDArray wrapper must have been unregistered."""
+    if os.environ.get("NPTPU_LEAK_GATE") != "1" or exitstatus != 0:
+        return
+    import gc
+
+    gc.collect()
+    gc.collect()
+    from numpower_tpu import runtime
+
+    live = runtime.leak_check()
+    stats = runtime.stats()
+    print(f"\n[leak-gate] registry after GC: {stats}")
+    if live != 0:
+        session.exitstatus = 1
+        raise pytest.UsageError(
+            f"leak gate FAILED: {live} NDArray buffers still registered "
+            f"after GC (stats: {stats})"
+        )
+    print("[leak-gate] OK: 0 live buffers")

@@ -73,3 +73,11 @@ def test_functional_layer_covers_class_math():
         "flatten", "flip", "squeeze", "expand_dims", "concatenate",
     ]:
         assert hasattr(ops, name), f"ops.{name} missing"
+
+
+def test_arithmetic_operand_class_registered():
+    """Reference registers ArithmeticOperand alongside NDArray
+    (numpower.c:5030, :5228-5244) with a no-arg constructor."""
+    from numpower_tpu import ArithmeticOperand
+
+    ArithmeticOperand()  # constructible with no args, like the reference
