@@ -12,6 +12,11 @@ For T=30 horizons a single device wins (the scan is tiny); this engine is
 for LONG horizons (T in the thousands — e.g. full-trajectory optimization)
 where per-device VMEM/HBM cannot hold the whole unrolled horizon, the same
 regime where LLM pipeline parallelism pays.
+
+Arbitrary shapes: T and N need not divide the pipeline width — the horizon
+is padded with identity (masked) stages and the scenario batch with zero
+rows, both sliced away before returning. Full trajectories are emitted
+(each device contributes its stage block of every scenario's trajectory).
 """
 
 from __future__ import annotations
@@ -31,30 +36,42 @@ def rollout_lti_pipelined(
     mesh: Mesh,
     axis: str = "model",
 ) -> jax.Array:
-    """Horizon-sharded batched LTI rollout returning final states (N, n).
+    """Horizon-sharded batched LTI rollout returning FULL trajectories
+    (N, T+1, n) with xs[:, 0] = x0s.
 
     us is sharded over the horizon axis across `axis` (device d holds its
     stage block); scenarios are split into D microbatches that pipeline
-    through the stage groups via ppermute.
+    through the stage groups via ppermute. Any (N, T) is accepted: the
+    horizon is padded to a multiple of D with masked identity stages and
+    the batch to a multiple of D with zero scenarios, both sliced away.
     """
     D = mesh.shape[axis]
     N, T, m = us.shape
     n = A.shape[0]
-    if T % D or N % D:
-        raise ValueError(f"T={T} and N={N} must divide the pipeline width {D}")
-    stages_per_dev = T // D
-    micro = N // D  # microbatch size
+    blk = -(-T // D)            # ceil(T / D) stages per device
+    T_pad = blk * D
+    micro = -(-N // D)          # ceil(N / D) scenarios per microbatch
+    N_pad = micro * D
 
-    def per_device(x0s_all, us_block):
-        # us_block: (N, T/D, m) — this device's stage block for ALL scenarios
+    us_p = jnp.zeros((N_pad, T_pad, m), us.dtype).at[:N, :T].set(us)
+    x0s_p = jnp.zeros((N_pad, n), x0s.dtype).at[:N].set(x0s)
+    # mask[t] = real stage; padded stages are identity (x passes through),
+    # so the final state and every real stage's value are unaffected.
+    mask = (jnp.arange(T_pad) < T)
+
+    def per_device(A_r, B_r, x0s_all, us_block, mask_block):
+        # us_block: (N_pad, blk, m); mask_block: (blk,) — this device's
+        # stage block for ALL scenarios.
         dev = lax.axis_index(axis)
 
         def stage_scan(x, u_seq):
-            def step(x, u):
-                return A @ x + B @ u, None
+            def step(x, um):
+                u, valid = um
+                x_next = jnp.where(valid, A_r @ x + B_r @ u, x)
+                return x_next, x_next
 
-            x_out, _ = lax.scan(step, x, u_seq)
-            return x_out
+            x_out, xs = lax.scan(step, x, (u_seq, mask_block))
+            return x_out, xs  # xs: (blk, n)
 
         batched_stage = jax.vmap(stage_scan)
 
@@ -75,32 +92,29 @@ def rollout_lti_pipelined(
             u_sel = lax.dynamic_slice_in_dim(
                 us_block, ((j % D) * micro), micro, axis=0
             )
-            x_out = batched_stage(x_in, u_sel)
+            x_out, xs = batched_stage(x_in, u_sel)
             x_out = jnp.where(active, x_out, state)
             # hand off to the next stage group (ring; last->0 wraps harmlessly)
             perm = [(i, (i + 1) % D) for i in range(D)]
             state_next = lax.ppermute(x_out, axis, perm)
-            return state_next, x_out
+            return state_next, xs  # xs: (micro, blk, n)
 
         # run M + D - 1 = 2D - 1 pipeline steps (M = D microbatches)
         ks = jnp.arange(2 * D - 1)
-        _, outs = lax.scan(pipe_step, state, ks)
-        # device D-1 produced final states for microbatch j at step j + D - 1
-        finals = outs[D - 1 :]  # (D, micro, n) on device D-1's lane
-        # all-gather so every device returns the full (N, n); only the last
-        # stage group's values are valid — select them via ppermute-free
-        # masking: broadcast from device D-1.
-        finals_flat = finals.reshape(D * micro, n)
-        is_last = (dev == D - 1).astype(finals_flat.dtype)
-        contrib = finals_flat * is_last
-        total = lax.psum(contrib, axis)
-        return total
+        _, outs = lax.scan(pipe_step, state, ks)   # (2D-1, micro, blk, n)
+        # device d processed microbatch j at step j + d: its D valid outputs
+        # are the contiguous slice starting at k = dev.
+        blocks = lax.dynamic_slice_in_dim(outs, dev, D, axis=0)
+        # (D, micro, blk, n) -> (N_pad, blk, n): microbatch-major scenarios
+        return blocks.reshape(N_pad, blk, n)
 
     mapped = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(), P(None, axis, None)),
-        out_specs=P(),
+        in_specs=(P(), P(), P(), P(None, axis, None), P(axis)),
+        out_specs=P(None, axis, None),
         check_vma=False,
     )
-    return jax.jit(mapped)(x0s, us)
+    xs = jax.jit(mapped)(A, B, x0s_p, us_p, mask)   # (N_pad, T_pad, n)
+    full = jnp.concatenate([x0s_p[:, None], xs], axis=1)
+    return full[:N, : T + 1]

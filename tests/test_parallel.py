@@ -85,7 +85,7 @@ def test_scaling_report():
 
 
 def test_pipelined_rollout_matches_sequential():
-    # PP over the horizon axis (SURVEY §2.5 pipeline row)
+    # PP over the horizon axis (SURVEY §2.5 pipeline row) — FULL trajectories
     from numpower_tpu.models import batched_rollout_lti, double_integrator
     from numpower_tpu.parallel.pipeline import rollout_lti_pipelined
 
@@ -94,9 +94,10 @@ def test_pipelined_rollout_matches_sequential():
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.standard_normal((16, 2)).astype(np.float32))
     us = jnp.asarray(0.1 * rng.standard_normal((16, 32, 1)).astype(np.float32))
-    finals = rollout_lti_pipelined(jnp.asarray(A), jnp.asarray(B), x0s, us, mesh)
-    ref = batched_rollout_lti(A, B, x0s, us)[:, -1]
-    np.testing.assert_allclose(np.asarray(finals), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    xs = rollout_lti_pipelined(jnp.asarray(A), jnp.asarray(B), x0s, us, mesh)
+    ref = batched_rollout_lti(A, B, x0s, us)
+    assert xs.shape == ref.shape == (16, 33, 2)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
 def test_pipelined_rollout_eight_stages():
@@ -108,9 +109,62 @@ def test_pipelined_rollout_eight_stages():
     rng = np.random.default_rng(1)
     x0s = jnp.asarray(0.1 * rng.standard_normal((8, 12)).astype(np.float32))
     us = jnp.asarray(0.1 * rng.standard_normal((8, 64, 4)).astype(np.float32))
-    finals = rollout_lti_pipelined(jnp.asarray(A), jnp.asarray(B), x0s, us, mesh)
-    ref = batched_rollout_lti(A, B, x0s, us)[:, -1]
-    np.testing.assert_allclose(np.asarray(finals), np.asarray(ref), rtol=1e-4, atol=1e-5)
+    xs = rollout_lti_pipelined(jnp.asarray(A), jnp.asarray(B), x0s, us, mesh)
+    ref = batched_rollout_lti(A, B, x0s, us)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("N,T", [(13, 30), (16, 37), (5, 7)])
+def test_pipelined_rollout_ragged_shapes(N, T):
+    """VERDICT r1 #7: no T%D / N%D restrictions — padded identity stages and
+    zero scenarios, sliced away."""
+    from numpower_tpu.models import batched_rollout_lti, double_integrator
+    from numpower_tpu.parallel.pipeline import rollout_lti_pipelined
+
+    A, B = double_integrator(0.1)
+    mesh = make_mesh((2, 4))
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(rng.standard_normal((N, 2)).astype(np.float32))
+    us = jnp.asarray(0.1 * rng.standard_normal((N, T, 1)).astype(np.float32))
+    xs = rollout_lti_pipelined(jnp.asarray(A), jnp.asarray(B), x0s, us, mesh)
+    ref = batched_rollout_lti(A, B, x0s, us)
+    assert xs.shape == (N, T + 1, 2)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_riccati_horizon_sharded_matches_scan():
+    """VERDICT r1 #7: horizon-sharded parallel-in-time Riccati at T=1024 on
+    the 8-device mesh == sequential riccati_scan."""
+    from numpower_tpu.models import double_integrator
+    from numpower_tpu.models.lqr import riccati_scan
+    from numpower_tpu.parallel import riccati_associative_sharded
+
+    A, B = double_integrator(0.05)
+    Q = jnp.eye(2); R = jnp.eye(1) * 0.1; QF = jnp.eye(2) * 10.0
+    T = 1024
+    mesh = make_mesh((1, 8))
+    Ks_sh, Ps_sh = riccati_associative_sharded(A, B, Q, R, QF, T, mesh)
+    Ks, Ps = riccati_scan(A, B, Q, R, QF, T)
+    assert Ks_sh.shape == (T, 1, 2) and Ps_sh.shape == (T + 1, 2, 2)
+    np.testing.assert_allclose(np.asarray(Ks_sh), np.asarray(Ks),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Ps_sh), np.asarray(Ps),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_riccati_horizon_sharded_quadrotor():
+    from numpower_tpu.models import quadrotor12
+    from numpower_tpu.models.lqr import riccati_scan
+    from numpower_tpu.parallel import riccati_associative_sharded
+
+    A, B = quadrotor12(0.02)
+    Q = jnp.eye(12); R = jnp.eye(4) * 0.1; QF = jnp.eye(12) * 5.0
+    T = 64
+    mesh = make_mesh((1, 8))
+    Ks_sh, Ps_sh = riccati_associative_sharded(A, B, Q, R, QF, T, mesh)
+    Ks, Ps = riccati_scan(A, B, Q, R, QF, T)
+    np.testing.assert_allclose(np.asarray(Ks_sh), np.asarray(Ks),
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_graft_entry_dryrun():
