@@ -534,6 +534,51 @@ def bench_serving(scenarios: int, horizon: int, reps: int):
     )
 
 
+def bench_shardmap_overhead(scenarios: int, horizon: int, iters: int, reps: int):
+    """shard_map-over-1-device vs the direct fused kernel: the sharded DP
+    solver must keep single-chip Pallas throughput (<10% overhead) — the
+    'done' bar for routing the kernels through the sharded solvers."""
+    import jax
+    import jax.numpy as jnp
+
+    from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas
+    from numpower_tpu.models import condense, quadrotor12
+    from numpower_tpu.models.condensed import default_coarse_iters
+    from numpower_tpu.parallel import make_mesh, solve_mpc_boxqp_dp
+
+    A, B = quadrotor12(0.02)
+    Q = np.eye(12, dtype=np.float32)
+    R = np.eye(4, dtype=np.float32) * 0.1
+    QF = np.eye(12, dtype=np.float32) * 5.0
+    qp = jax.jit(condense, static_argnums=5)(A, B, Q, R, QF, horizon)
+    ci = default_coarse_iters(qp, iters)
+    x0s = jnp.asarray(
+        0.3 * np.random.default_rng(0).standard_normal((scenarios, 12)), jnp.float32
+    )
+
+    interp = jax.default_backend() not in ("tpu", "axon")
+    t_direct = _device_time_per_call(
+        lambda qp, xs, i: fista_mpc_pallas(
+            qp.H, qp.Sx.T, qp.SuTQ.T, xs + i * 1e-6, jnp.float32(-1.0),
+            jnp.float32(1.0), qp.lipschitz, iters=iters, coarse_iters=ci,
+            interpret=interp,
+        )[0][0, 0],
+        (qp, x0s), K=32, reps=reps,
+    )
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    t_sharded = _device_time_per_call(
+        lambda qp, xs, i: solve_mpc_boxqp_dp(
+            qp, xs + i * 1e-6, -1.0, 1.0, mesh, iters=iters,
+            method="pallas", coarse_iters=ci,
+        ).U[0, 0],
+        (qp, x0s), K=32, reps=reps,
+    )
+    _log(
+        f"[shardmap] direct kernel {t_direct*1e6:.1f} us vs shard_map(1dev) "
+        f"{t_sharded*1e6:.1f} us -> overhead {100*(t_sharded/t_direct-1):+.1f}%"
+    )
+
+
 def bench_scaling(scenarios: int, reps: int):
     """Scaling sweep: DP box-QP solves/s at 1..D devices (BASELINE: >=85%
     efficiency at 2+ hosts). On a virtual CPU mesh this validates the
@@ -615,6 +660,7 @@ def main():
         bench_serving(scenarios, args.horizon, reps)
         bench_solvers_extra(scenarios, args.horizon, args.iters, reps)
         bench_estimation(scenarios, reps)
+        bench_shardmap_overhead(scenarios, args.horizon, args.iters, reps)
 
     if args.scaling:
         bench_scaling(scenarios, reps)

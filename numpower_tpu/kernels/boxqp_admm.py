@@ -199,6 +199,137 @@ def _admm_g_kernel(minvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref, z0_ref,
     y_out_ref[:] = y
 
 
+def _admm_g_res_kernel(minvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref,
+                       z0_ref, out_ref, rp_ref, rd_ref, *, iters: int,
+                       coarse_iters: int, d: int, n_real: int, tile_n: int):
+    """_admm_g_kernel variant with BOTH residuals fused in: after the loop,
+    one extra VMEM-resident x-update forms the primal/dual residuals and
+    reduces them to per-tile scalars. Saves the y and g HBM writes AND the
+    caller's external residual pass (which re-read z/y/g from HBM). Padded
+    rows/columns are masked out of the maxes."""
+    rho = params_ref[0]
+    lo = params_ref[1]
+    hi = params_ref[2]
+    alpha = params_ref[3]
+    mid = jnp.dot(x0_ref[:], sxT_ref[:], precision=lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    g = jnp.dot(mid, suqT_ref[:], precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    minvT = minvT_ref[:]
+    z = z0_ref[:]
+    y = jnp.zeros_like(z)
+    for k in range(iters):
+        precision = (
+            lax.Precision.DEFAULT if k < coarse_iters else lax.Precision.HIGHEST
+        )
+        rhs = rho * (z - y) - g
+        x = jnp.dot(rhs, minvT, precision=precision,
+                    preferred_element_type=jnp.float32)
+        x_r = alpha * x + (1.0 - alpha) * z
+        z = jnp.clip(x_r + y, lo, hi)
+        y = y + x_r - z
+    out_ref[:] = z
+    # exact residuals at the final (z, y): same formulas as the XLA path
+    x = jnp.dot(rho * (z - y) - g, minvT, precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    z_next = jnp.clip(alpha * x + (1.0 - alpha) * z + y, lo, hi)
+    i = pl.program_id(0)
+    rows = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    valid = jnp.logical_and(rows < n_real, cols < d)
+    rp_max = jnp.max(jnp.where(valid, jnp.abs(x - z), 0.0))
+    rd_max = rho * jnp.max(jnp.where(valid, jnp.abs(z_next - z), 0.0))
+
+    # max-accumulate into single (8, 128) VMEM blocks revisited by every
+    # grid step (Mosaic rejects (1, 1) per-tile scalar blocks).
+    @pl.when(i == 0)
+    def _init():
+        rp_ref[:] = jnp.zeros_like(rp_ref)
+        rd_ref[:] = jnp.zeros_like(rd_ref)
+
+    rp_ref[:] = jnp.maximum(rp_ref[:], jnp.full(rp_ref.shape, rp_max))
+    rd_ref[:] = jnp.maximum(rd_ref[:], jnp.full(rd_ref.shape, rd_max))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "coarse_iters", "tile_n", "interpret")
+)
+def admm_mpc_pallas_res(
+    H: jax.Array,        # (d, d)
+    SxT: jax.Array,      # (n, Tn)  = Sx'
+    SuTQT: jax.Array,    # (Tn, d)  = (Su' Qbar)'
+    x0s: jax.Array,      # (N, n) scenario initial states
+    lo: jax.Array,
+    hi: jax.Array,
+    rho: jax.Array,
+    iters: int = 40,
+    coarse_iters: int = 0,
+    over_relax: float = 1.6,
+    tile_n: int = 1024,
+    interpret: bool = False,
+    Minv: Optional[jax.Array] = None,
+):
+    """admm_mpc_pallas with residuals FUSED into the kernel: returns
+    (z (N, d), r_primal scalar, r_dual scalar). Per tile the only HBM
+    traffic is the x0 read and the z write."""
+    N, n = x0s.shape
+    d = H.shape[0]
+    tn = SxT.shape[1]
+    d_pad = _round_up(d, 128)
+    n_col_pad = _round_up(n, 128)
+    tn_pad = _round_up(tn, 128)
+    tile_n = min(tile_n, max(128, (1024 * 128) // d_pad))
+    tile_n = min(tile_n, _round_up(N, 8))
+    n_pad_batch = _round_up(N, tile_n)
+    n_tiles = n_pad_batch // tile_n
+    dt = x0s.dtype
+
+    if Minv is None:
+        Minv = minv_factor(H, rho)
+    minvT = jnp.zeros((d_pad, d_pad), dt).at[:d, :d].set(Minv.T)
+    sxT = jnp.zeros((n_col_pad, tn_pad), dt).at[:n, :tn].set(SxT)
+    suqT = jnp.zeros((tn_pad, d_pad), dt).at[:tn, :d].set(SuTQT)
+    x0_p = jnp.zeros((n_pad_batch, n_col_pad), dt).at[:N, :n].set(x0s)
+    z0 = jnp.clip(jnp.zeros((n_pad_batch, d_pad), dt), lo, hi)
+    params = jnp.stack([
+        jnp.asarray(rho, jnp.float32), jnp.asarray(lo, jnp.float32),
+        jnp.asarray(hi, jnp.float32), jnp.asarray(over_relax, jnp.float32),
+    ])
+    kernel = functools.partial(
+        _admm_g_res_kernel, iters=iters,
+        coarse_iters=min(coarse_iters, iters), d=d, n_real=N, tile_n=tile_n,
+    )
+    z, rp, rd = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, n_col_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_col_pad, tn_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad_batch, d_pad), dt),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad_batch * d_pad * d_pad * (iters + 1),
+            bytes_accessed=(d_pad * d_pad + 2 * n_pad_batch * d_pad) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(minvT, x0_p, sxT, suqT, params, z0)
+    return z[:N, :d], rp[0, 0], rd[0, 0]
+
+
 @functools.partial(
     jax.jit, static_argnames=("iters", "coarse_iters", "tile_n", "interpret")
 )

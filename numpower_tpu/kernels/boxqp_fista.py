@@ -229,6 +229,113 @@ def fista_mpc_pallas(
     return U[:N, :d], g[:N, :d]
 
 
+def _fista_g_res_kernel(Ht_ref, x0_ref, sxT_ref, suqT_ref, lostep_ref, u0_ref,
+                        out_ref, res_ref, *, iters: int, coarse_iters: int,
+                        d: int, n_real: int, tile_n: int):
+    """_fista_g_kernel variant with the RESIDUAL fused in: after the
+    iteration loop, one more VMEM-resident GEMM forms the projected-gradient
+    residual and reduces it to a per-tile scalar. Saves the g HBM write AND
+    the caller's external residual pass (which re-read U and g from HBM).
+    Padded rows (>= n_real) and columns (>= d) are masked out of the max —
+    they hold clip-of-zero garbage whenever the box excludes 0."""
+    step = lostep_ref[0]
+    lo = lostep_ref[1]
+    hi = lostep_ref[2]
+    mid = jnp.dot(x0_ref[:], sxT_ref[:], precision=lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    g = jnp.dot(mid, suqT_ref[:], precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    U = _fista_loop(g, Ht_ref[:], step, lo, hi, u0_ref[:], iters, coarse_iters)
+    out_ref[:] = U
+    grad = jnp.dot(U, Ht_ref[:], precision=lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32) + g
+    r = jnp.abs(U - jnp.clip(U - step * grad, lo, hi))
+    i = pl.program_id(0)
+    rows = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+    valid = jnp.logical_and(rows < n_real, cols < d)
+    r_max = jnp.max(jnp.where(valid, r, 0.0))
+    # max-accumulate into a single (8, 128) VMEM block revisited by every
+    # grid step (Mosaic requires last-two block dims (8k, 128k) or
+    # equal-to-array; a (1, 1) per-tile scalar block is rejected).
+    @pl.when(i == 0)
+    def _init():
+        res_ref[:] = jnp.zeros_like(res_ref)
+
+    res_ref[:] = jnp.maximum(res_ref[:], jnp.full(res_ref.shape, r_max))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "coarse_iters", "tile_n", "interpret")
+)
+def fista_mpc_pallas_res(
+    H: jax.Array,        # (d, d)
+    SxT: jax.Array,      # (n, Tn)  = Sx'
+    SuTQT: jax.Array,    # (Tn, d)  = (Su' Qbar)'
+    x0s: jax.Array,      # (N, n) scenario initial states
+    lo: jax.Array,
+    hi: jax.Array,
+    lipschitz: jax.Array,
+    iters: int = 40,
+    coarse_iters: int = 0,
+    tile_n: int = 1024,
+    interpret: bool = False,
+):
+    """fista_mpc_pallas with the residual FUSED into the kernel: returns
+    (U (N, d), resid scalar). The only HBM traffic per tile is the x0 read
+    and the U write — no g materialization, no external residual GEMM."""
+    N, n = x0s.shape
+    d = H.shape[0]
+    tn = SxT.shape[1]
+    d_pad = _round_up(d, 128)
+    n_col_pad = _round_up(n, 128)
+    tn_pad = _round_up(tn, 128)
+    tile_n = min(tile_n, _round_up(N, 8))
+    n_pad_batch = _round_up(N, tile_n)
+    n_tiles = n_pad_batch // tile_n
+
+    Ht = jnp.zeros((d_pad, d_pad), H.dtype).at[:d, :d].set(H.T)
+    sxT = jnp.zeros((n_col_pad, tn_pad), H.dtype).at[:n, :tn].set(SxT)
+    suqT = jnp.zeros((tn_pad, d_pad), H.dtype).at[:tn, :d].set(SuTQT)
+    x0_p = jnp.zeros((n_pad_batch, n_col_pad), x0s.dtype).at[:N, :n].set(x0s)
+    u0_p = jnp.zeros((n_pad_batch, d_pad), x0s.dtype)
+    params = jnp.stack(
+        [(1.0 / lipschitz).astype(jnp.float32),
+         jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32)]
+    )
+    kernel = functools.partial(
+        _fista_g_res_kernel, iters=iters,
+        coarse_iters=min(coarse_iters, iters), d=d, n_real=N, tile_n=tile_n,
+    )
+    U, res = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, n_col_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_col_pad, tn_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad_batch, d_pad), x0s.dtype),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad_batch * d_pad * d_pad * (iters + 1),
+            bytes_accessed=(d_pad * d_pad + 2 * n_pad_batch * d_pad) * 4,
+            transcendentals=iters,
+        ),
+        interpret=interpret,
+    )(Ht, x0_p, sxT, suqT, params, u0_p)
+    return U[:N, :d], res[0, 0]
+
+
 def solve_mpc_boxqp_pallas(qp, x0s, u_lo: float, u_hi: float, iters: int = 40,
                            coarse_iters: Optional[int] = None):
     """Drop-in for models.boxqp.solve_mpc_boxqp using the fused kernel."""

@@ -131,7 +131,7 @@ def solve_mpc_boxqp_admm(
         method = "pallas" if (on_tpu and d <= 1024 and x0s.ndim == 2) else "xla"
     if method == "pallas":
         from numpower_tpu.kernels.boxqp_admm import (
-            admm_boxqp_pallas, admm_mpc_pallas, minv_factor,
+            admm_boxqp_pallas, minv_factor,
         )
 
         if coarse_iters is None:
@@ -140,18 +140,22 @@ def solve_mpc_boxqp_admm(
         Minv = minv_factor(qp.H, rho)  # shared: kernel x-updates + residuals
         tn = qp.Sx.shape[0]
         if (x_ref is None and U0 is None and x0s.ndim == 2 and tn <= 1024):
-            # fully fused: g formed in-kernel from x0 (boxqp.py pattern);
-            # the kernel emits g so it is never formed twice
-            z, y, g = admm_mpc_pallas(
+            # fully fused: g formed in-kernel from x0 AND both residuals
+            # reduced in-kernel (kernels/boxqp_admm._admm_g_res_kernel) —
+            # per tile the only HBM traffic is the x0 read and the z write.
+            from numpower_tpu.kernels.boxqp_admm import admm_mpc_pallas_res
+
+            z, r_prim, r_dual = admm_mpc_pallas_res(
                 qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(u_lo),
                 jnp.float32(u_hi), rho, iters=iters,
                 coarse_iters=coarse_iters, over_relax=over_relax, Minv=Minv)
-        else:
-            g = gradient_offset(qp, x0s, x_ref)
-            z, y = admm_boxqp_pallas(
-                qp.H, g, jnp.float32(u_lo), jnp.float32(u_hi), rho,
-                iters=iters, coarse_iters=coarse_iters,
-                over_relax=over_relax, U0=U0, Minv=Minv)
+            return ADMMResult(U=z, iterations=jnp.asarray(iters),
+                              primal_residual=r_prim, dual_residual=r_dual)
+        g = gradient_offset(qp, x0s, x_ref)
+        z, y = admm_boxqp_pallas(
+            qp.H, g, jnp.float32(u_lo), jnp.float32(u_hi), rho,
+            iters=iters, coarse_iters=coarse_iters,
+            over_relax=over_relax, U0=U0, Minv=Minv)
         # exact residuals via one XLA x-update at the final (z, y) — same
         # over-relaxed formulas as the solve_boxqp_admm scan path
         x = (rho * (z - y) - g) @ Minv.T

@@ -163,18 +163,17 @@ def solve_mpc_boxqp(
     tn = qp.Sx.shape[0]
     if (method == "pallas" and x_ref is None and U0 is None and x0s.ndim == 2
             and tn <= 1024):
-        # g formed in-kernel from x0 (no materialized g; g also emitted for
-        # the residual so it is never formed twice)
-        from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas
+        # fully fused: g formed in-kernel from x0 AND the projected-gradient
+        # residual reduced in-kernel to per-tile scalars — per tile the only
+        # HBM traffic is the x0 read and the U write (no g materialization,
+        # no external residual GEMM pass).
+        from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas_res
 
-        U, g = fista_mpc_pallas(
+        U, resid = fista_mpc_pallas_res(
             qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(u_lo),
             jnp.float32(u_hi), qp.lipschitz, iters=iters,
             coarse_iters=coarse_iters,
         )
-        step = 1.0 / qp.lipschitz
-        grad = U @ qp.H.T + g
-        resid = jnp.max(jnp.abs(U - jnp.clip(U - step * grad, u_lo, u_hi)))
         return BoxQPResult(U=U, iterations=jnp.asarray(iters), residual=resid)
     g = gradient_offset(qp, x0s, x_ref)
     if method == "pallas":

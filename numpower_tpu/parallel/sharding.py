@@ -131,18 +131,15 @@ def _solve_mpc_boxqp_dp_pallas(
     instead of regressing to the XLA scan (VERDICT r1 weak #1). shard_axes
     may name one mesh axis (pure DP) or all of them (dp x tp meshes where H
     fits per-device, so every chip does scenario work)."""
-    from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas
+    from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas_res
 
     interpret = not _mesh_is_tpu(mesh)
 
     def per_device(H, SxT, SuTQT, lip, x0s_shard):
-        U, g = fista_mpc_pallas(
+        U, resid_local = fista_mpc_pallas_res(
             H, SxT, SuTQT, x0s_shard, jnp.float32(u_lo), jnp.float32(u_hi),
             lip, iters=iters, coarse_iters=coarse_iters, interpret=interpret,
         )
-        step = 1.0 / lip
-        grad = U @ H.T + g
-        resid_local = jnp.max(jnp.abs(U - jnp.clip(U - step * grad, u_lo, u_hi)))
         resid = jax.lax.pmax(resid_local, axis_name=shard_axes)
         return U, resid
 
@@ -291,25 +288,21 @@ def solve_mpc_boxqp_admm_dp(
 
     method = _pick_method(qp, mesh, method)
     if method == "pallas":
-        from numpower_tpu.kernels.boxqp_admm import admm_mpc_pallas
+        from numpower_tpu.kernels.boxqp_admm import admm_mpc_pallas_res
 
         interpret = not _mesh_is_tpu(mesh)
         if coarse_iters is None:
             coarse_iters = max(0, iters - 12)  # models/admm.py policy
 
         def per_device_pl(H, Minv, SxT, SuTQT, rho_s, x0s_shard):
-            z, y, g = admm_mpc_pallas(
+            z, rp_local, rd_local = admm_mpc_pallas_res(
                 H, SxT, SuTQT, x0s_shard, jnp.float32(u_lo),
                 jnp.float32(u_hi), rho_s, iters=iters,
                 coarse_iters=coarse_iters, over_relax=over_relax,
                 interpret=interpret, Minv=Minv,
             )
-            x = (rho_s * (z - y) - g) @ Minv.T
-            rp = jax.lax.pmax(jnp.max(jnp.abs(x - z)), axis_name=data_ax)
-            z_next = jnp.clip(over_relax * x + (1.0 - over_relax) * z + y,
-                              u_lo, u_hi)
-            rd = jax.lax.pmax(rho_s * jnp.max(jnp.abs(z_next - z)),
-                              axis_name=data_ax)
+            rp = jax.lax.pmax(rp_local, axis_name=data_ax)
+            rd = jax.lax.pmax(rd_local, axis_name=data_ax)
             return z, rp, rd
 
         mapped = shard_map(
