@@ -280,10 +280,12 @@ def fista_mpc_pallas_res(
     coarse_iters: int = 0,
     tile_n: int = 1024,
     interpret: bool = False,
+    U0: Optional[jax.Array] = None,
 ):
     """fista_mpc_pallas with the residual FUSED into the kernel: returns
     (U (N, d), resid scalar). The only HBM traffic per tile is the x0 read
-    and the U write — no g materialization, no external residual GEMM."""
+    and the U write — no g materialization, no external residual GEMM.
+    U0 warm-starts the iterate (receding-horizon shifts)."""
     N, n = x0s.shape
     d = H.shape[0]
     tn = SxT.shape[1]
@@ -299,6 +301,8 @@ def fista_mpc_pallas_res(
     suqT = jnp.zeros((tn_pad, d_pad), H.dtype).at[:tn, :d].set(SuTQT)
     x0_p = jnp.zeros((n_pad_batch, n_col_pad), x0s.dtype).at[:N, :n].set(x0s)
     u0_p = jnp.zeros((n_pad_batch, d_pad), x0s.dtype)
+    if U0 is not None:
+        u0_p = u0_p.at[:N, :d].set(U0)
     params = jnp.stack(
         [(1.0 / lipschitz).astype(jnp.float32),
          jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32)]

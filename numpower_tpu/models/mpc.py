@@ -37,7 +37,15 @@ class MPCController:
 
     def __init__(self, A, B, Q, R, QF, horizon: int, u_lo: float, u_hi: float,
                  iters: int = 30, coarse_iters: Optional[int] = None,
-                 x_ref=None):
+                 x_ref=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh for MULTI-CHIP serving — the tick
+        solve runs the sharded DP solver (fused Pallas kernel per device,
+        warm starts sharded with the scenarios over the first mesh axis).
+        x_ref is not supported with a mesh (the sharded path is the
+        regulation solve)."""
+        if mesh is not None and x_ref is not None:
+            raise ValueError("mesh serving does not support x_ref")
+        self.mesh = mesh
         self.qp: CondensedQP = jax.jit(condense, static_argnums=5)(
             A, B, Q, R, QF, horizon
         )
@@ -63,10 +71,20 @@ class MPCController:
 
     def init(self, n_scenarios: int) -> MPCState:
         d = self.qp.T * self.qp.m
-        return MPCState(
-            U_prev=jnp.zeros((n_scenarios, d), jnp.float32),
-            tick=jnp.asarray(0, jnp.int32),
-        )
+        U_prev = jnp.zeros((n_scenarios, d), jnp.float32)
+        tick = jnp.asarray(0, jnp.int32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # Place the state with the SAME shardings the jitted step emits
+            # (U_prev over the data axis, tick replicated) so the second tick
+            # sees identical input shardings and never retraces.
+            U_prev = jax.device_put(
+                U_prev,
+                NamedSharding(self.mesh, PartitionSpec(self.mesh.axis_names[0])),
+            )
+            tick = jax.device_put(tick, NamedSharding(self.mesh, PartitionSpec()))
+        return MPCState(U_prev=U_prev, tick=tick)
 
     def _step_impl(self, qp: CondensedQP, state: MPCState, x0s: jax.Array):
         from numpower_tpu.models.boxqp import solve_mpc_boxqp
@@ -76,10 +94,18 @@ class MPCController:
         U_shift = jnp.concatenate(
             [state.U_prev[:, m:], state.U_prev[:, -m:]], axis=1
         )
-        res = solve_mpc_boxqp(
-            qp, x0s, self.u_lo, self.u_hi, x_ref=self.x_ref,
-            iters=self.iters, U0=U_shift, coarse_iters=self.coarse_iters,
-        )
+        if self.mesh is not None:
+            from numpower_tpu.parallel.sharding import solve_mpc_boxqp_dp
+
+            res = solve_mpc_boxqp_dp(
+                qp, x0s, self.u_lo, self.u_hi, self.mesh, iters=self.iters,
+                coarse_iters=self.coarse_iters, U0=U_shift,
+            )
+        else:
+            res = solve_mpc_boxqp(
+                qp, x0s, self.u_lo, self.u_hi, x_ref=self.x_ref,
+                iters=self.iters, U0=U_shift, coarse_iters=self.coarse_iters,
+            )
         u0 = res.U[:, :m]
         return u0, MPCState(U_prev=res.U, tick=state.tick + 1), res.residual
 

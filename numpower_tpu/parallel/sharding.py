@@ -59,11 +59,13 @@ def solve_mpc_boxqp_dp(
     iters: int = 40,
     method: str = "auto",
     coarse_iters=None,
+    U0=None,
 ) -> BoxQPResult:
     """Data-parallel batched box-QP: scenarios over the `data` axis.
 
-    H/Sx/SuTQ replicated; x0s sharded on axis 0. Residual is a pmax over the
-    data axis so every device returns the global sweep residual.
+    H/Sx/SuTQ replicated; x0s (and the optional U0 warm start) sharded on
+    axis 0. Residual is a pmax over the data axis so every device returns
+    the global sweep residual.
 
     method="pallas" runs the fused FISTA kernel (kernels/boxqp_fista,
     g formed in-kernel) inside the shard_map body, so every chip of the mesh
@@ -78,13 +80,14 @@ def solve_mpc_boxqp_dp(
             default_coarse_iters(qp, iters) if coarse_iters is None
             else coarse_iters,
             (mesh.axis_names[0],),
+            U0=U0,
         )
     data_ax = mesh.axis_names[0]
     step = 1.0 / qp.lipschitz
 
-    def per_device(H, SuTQ, Sx, x0s_shard):
+    def per_device(H, SuTQ, Sx, x0s_shard, u0_shard):
         g = (SuTQ @ (Sx @ x0s_shard.T)).T  # (n_local, Tm)
-        U = jnp.zeros_like(g)
+        U = u0_shard  # zeros when cold (matches solve_boxqp_fista's U0)
         Y = U
         t = jnp.asarray(1.0, g.dtype)
 
@@ -105,13 +108,15 @@ def solve_mpc_boxqp_dp(
         resid = jax.lax.pmax(resid_local, axis_name=data_ax)
         return U, resid
 
+    if U0 is None:
+        U0 = jnp.zeros((x0s.shape[0], qp.H.shape[0]), x0s.dtype)
     mapped = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(data_ax)),
+        in_specs=(P(), P(), P(), P(data_ax), P(data_ax)),
         out_specs=(P(data_ax), P()),
     )
-    U, resid = jax.jit(mapped)(qp.H, qp.SuTQ, qp.Sx, x0s)
+    U, resid = jax.jit(mapped)(qp.H, qp.SuTQ, qp.Sx, x0s, U0)
     return BoxQPResult(U=U, iterations=jnp.asarray(iters), residual=resid)
 
 
@@ -124,6 +129,7 @@ def _solve_mpc_boxqp_dp_pallas(
     iters: int,
     coarse_iters: int,
     shard_axes,
+    U0=None,
 ) -> BoxQPResult:
     """Fused-kernel DP body: each device runs the single-chip Pallas FISTA
     (g formed in-kernel from its x0 shard, H/prediction matrices replicated
@@ -135,25 +141,29 @@ def _solve_mpc_boxqp_dp_pallas(
 
     interpret = not _mesh_is_tpu(mesh)
 
-    def per_device(H, SxT, SuTQT, lip, x0s_shard):
+    def per_device(H, SxT, SuTQT, lip, x0s_shard, u0_shard):
         U, resid_local = fista_mpc_pallas_res(
             H, SxT, SuTQT, x0s_shard, jnp.float32(u_lo), jnp.float32(u_hi),
             lip, iters=iters, coarse_iters=coarse_iters, interpret=interpret,
+            U0=u0_shard,
         )
         resid = jax.lax.pmax(resid_local, axis_name=shard_axes)
         return U, resid
 
+    if U0 is None:
+        U0 = jnp.zeros((x0s.shape[0], qp.H.shape[0]), x0s.dtype)
     spec = P(shard_axes)
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
     # annotation, so jax's per-output vma inference cannot see through it.
     mapped = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), spec),
+        in_specs=(P(), P(), P(), P(), spec, spec),
         out_specs=(spec, P()),
         check_vma=False,
     )
-    U, resid = jax.jit(mapped)(qp.H, qp.Sx.T, qp.SuTQ.T, qp.lipschitz, x0s)
+    U, resid = jax.jit(mapped)(qp.H, qp.Sx.T, qp.SuTQ.T, qp.lipschitz, x0s,
+                               U0)
     return BoxQPResult(U=U, iterations=jnp.asarray(iters), residual=resid)
 
 

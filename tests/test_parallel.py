@@ -266,3 +266,37 @@ def test_dp_admm_pallas_matches_xla_scan():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(r_dp.primal_residual),
                                float(r_1d.primal_residual), atol=1e-5)
+
+
+def test_mesh_serving_controller():
+    """Multi-chip serving: MPCController(mesh=...) runs the sharded DP
+    solver per tick with sharded warm starts; regulation must match the
+    single-chip controller and not retrace."""
+    from numpower_tpu.models import MPCController, double_integrator
+
+    A, B = double_integrator(0.1)
+    # iters high enough that both solver variants (different restart
+    # schedules) reach the shared fixed point; coarse_iters=0 keeps the
+    # single-chip controller off the bf16 phase for exact comparison.
+    kw = dict(horizon=12, u_lo=-1.0, u_hi=1.0, iters=80, coarse_iters=0)
+    Qm = np.eye(2, dtype=np.float32)
+    Rm = np.eye(1, dtype=np.float32) * 0.1
+    QFm = np.eye(2, dtype=np.float32) * 10.0
+    mesh = make_mesh((8, 1))
+    ctrl_m = MPCController(A, B, Qm, Rm, QFm, mesh=mesh, **kw)
+    ctrl_1 = MPCController(A, B, Qm, Rm, QFm, **kw)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((16, 2)).astype(np.float32))
+    sm, s1 = ctrl_m.init(16), ctrl_1.init(16)
+    A_j, B_j = jnp.asarray(A), jnp.asarray(B)
+    # shard the incoming scenario batch like production would — downstream
+    # ticks then keep identical input shardings (no retrace)
+    xm, x1 = shard_batch(x, mesh), x
+    for _ in range(5):
+        um, sm = ctrl_m.step(sm, xm)
+        u1, s1 = ctrl_1.step(s1, x1)
+        np.testing.assert_allclose(np.asarray(um), np.asarray(u1),
+                                   rtol=1e-4, atol=1e-5)
+        xm = xm @ A_j.T + um @ B_j.T
+        x1 = x1 @ A_j.T + u1 @ B_j.T
+    assert ctrl_m.compile_cache_size() == 1
