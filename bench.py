@@ -445,10 +445,13 @@ def bench_tube(scenarios: int, reps: int):
         for o in outs:
             float(jax.device_get(o))
         dt = (time.perf_counter() - t0) / n_batches
+        mb = w0.size * 4 / 1e6
         _log(
             f"[config5] host-fed sweep ({'native' if stream.native else 'numpy'}"
-            f" stream, {n_batches} batches): {dt*1e3:.3f} ms/sweep wall "
-            f"-> {scenarios/dt:,.0f} scenario-rollouts/s end-to-end"
+            f" stream, {n_batches} batches of {mb:.1f} MB): {dt*1e3:.3f} "
+            f"ms/sweep wall -> {scenarios/dt:,.0f} scenario-rollouts/s "
+            f"end-to-end ({mb/dt/1e3:.2f} GB/s host->device; through the "
+            f"remote relay this is link-bound, not stream-bound)"
         )
 
 
