@@ -559,26 +559,40 @@ def bench_shardmap_overhead(scenarios: int, horizon: int, iters: int, reps: int)
         0.3 * np.random.default_rng(0).standard_normal((scenarios, 12)), jnp.float32
     )
 
+    # Relay noise at these absolute times (~70 us/call) swamps K=32 single
+    # measurements (observed ±50 us run-to-run) — use a large K and
+    # alternate the two paths so drift hits both equally.
     interp = jax.default_backend() not in ("tpu", "axon")
-    t_direct = _device_time_per_call(
-        lambda qp, xs, i: fista_mpc_pallas(
-            qp.H, qp.Sx.T, qp.SuTQ.T, xs + i * 1e-6, jnp.float32(-1.0),
-            jnp.float32(1.0), qp.lipschitz, iters=iters, coarse_iters=ci,
-            interpret=interp,
-        )[0][0, 0],
-        (qp, x0s), K=32, reps=reps,
-    )
+    K = 128
+
+    def t_direct_once():
+        return _device_time_per_call(
+            lambda qp, xs, i: fista_mpc_pallas(
+                qp.H, qp.Sx.T, qp.SuTQ.T, xs + i * 1e-6, jnp.float32(-1.0),
+                jnp.float32(1.0), qp.lipschitz, iters=iters, coarse_iters=ci,
+                interpret=interp,
+            )[0][0, 0],
+            (qp, x0s), K=K, reps=reps,
+        )
+
     mesh = make_mesh((1, 1), devices=jax.devices()[:1])
-    t_sharded = _device_time_per_call(
-        lambda qp, xs, i: solve_mpc_boxqp_dp(
-            qp, xs + i * 1e-6, -1.0, 1.0, mesh, iters=iters,
-            method="pallas", coarse_iters=ci,
-        ).U[0, 0],
-        (qp, x0s), K=32, reps=reps,
-    )
+
+    def t_sharded_once():
+        return _device_time_per_call(
+            lambda qp, xs, i: solve_mpc_boxqp_dp(
+                qp, xs + i * 1e-6, -1.0, 1.0, mesh, iters=iters,
+                method="pallas", coarse_iters=ci,
+            ).U[0, 0],
+            (qp, x0s), K=K, reps=reps,
+        )
+
+    pairs = [(t_direct_once(), t_sharded_once()) for _ in range(3)]
+    t_direct = float(np.median([p[0] for p in pairs]))
+    t_sharded = float(np.median([p[1] for p in pairs]))
     _log(
         f"[shardmap] direct kernel {t_direct*1e6:.1f} us vs shard_map(1dev) "
-        f"{t_sharded*1e6:.1f} us -> overhead {100*(t_sharded/t_direct-1):+.1f}%"
+        f"{t_sharded*1e6:.1f} us -> overhead {100*(t_sharded/t_direct-1):+.1f}% "
+        f"(median of 3 interleaved pairs, K={K})"
     )
 
 

@@ -144,11 +144,22 @@ def eig_complex(a) -> Tuple[jax.Array, jax.Array]:
     """Full complex nonsymmetric eig — jittable and vmap-able.
 
     XLA:TPU has no nonsymmetric eig primitive, so LAPACK geev runs on the
-    host via jax.pure_callback (the documented TPU-native design for ops with
-    no device lowering). Returns complex64 (w, v) — a superset of the
-    reference, which discards imaginary parts (linalg.c:770-838 frees the
-    wi buffer `wivectors` unread)."""
+    host: eagerly via a direct device_get->numpy round trip, or under
+    jit/vmap via jax.pure_callback (the documented TPU-native design for ops
+    with no device lowering). The eager bypass matters on remote-relay TPU
+    backends (axon) whose PJRT lacks host send/recv callbacks — there the
+    eager path always works and only the traced path needs a
+    callback-capable runtime (CPU and standard TPU PJRT both are).
+    Returns complex64 (w, v) — a superset of the reference, which discards
+    imaginary parts (linalg.c:770-838 frees the wi buffer `wivectors`
+    unread)."""
     a = asarray(a)
+    if not isinstance(a, jax.core.Tracer):
+        w, v = _eig_host(np.asarray(jax.device_get(a)))
+        # complex64 results live on the host CPU backend: always valid,
+        # even on accelerator runtimes without complex support.
+        cpu = jax.local_devices(backend="cpu")[0]
+        return jax.device_put(w, cpu), jax.device_put(v, cpu)
     out_spec = (
         jax.ShapeDtypeStruct(a.shape[:-1], jnp.complex64),
         jax.ShapeDtypeStruct(a.shape, jnp.complex64),
@@ -165,6 +176,12 @@ def eig(a) -> Tuple[jax.Array, jax.Array]:
     the return is real fp32. Use eig_complex for the full complex spectrum,
     or eigh for the symmetric case (TPU-native)."""
     a = asarray(a)
+    if not isinstance(a, jax.core.Tracer):
+        # Eager: take real parts ON HOST — no complex arrays ever touch the
+        # device (remote-relay TPU backends reject complex dtypes).
+        w, v = _eig_host(np.asarray(jax.device_get(a)))
+        return (jnp.asarray(np.real(w)).astype(a.dtype),
+                jnp.asarray(np.real(v)).astype(a.dtype))
     w, v = eig_complex(a)
     return jnp.real(w).astype(a.dtype), jnp.real(v).astype(a.dtype)
 

@@ -360,3 +360,35 @@ def solve_mpc_boxqp_admm_dp(
                                 jnp.asarray(rho, jnp.float32), x0s)
     return ADMMResult(U=z, iterations=jnp.asarray(iters),
                       primal_residual=rp, dual_residual=rd)
+
+
+def kalman_filter_batched_dp(A, C, Q, R, x0s, P0, yss, mesh: Mesh):
+    """Data-parallel batched Kalman filtering: trajectories over the `data`
+    axis (the estimation-side analogue of solve_mpc_boxqp_dp — 65k-trajectory
+    smoothing/likelihood sweeps shard embarrassingly; the per-device body is
+    the same vmapped scan as models/estimation.kalman_filter_batched).
+
+    Returns the KalmanResult with every leaf sharded on axis 0, plus the
+    GLOBAL summed log-likelihood replicated on every device (psum over the
+    data axis) — the quantity a sweep maximizes.
+    """
+    from numpower_tpu.models.estimation import kalman_filter_batched
+
+    data_ax = mesh.axis_names[0]
+
+    def per_device(A, C, Q, R, P0, x0_shard, ys_shard):
+        res = kalman_filter_batched(A, C, Q, R, x0_shard, P0, ys_shard)
+        total_ll = jax.lax.psum(jnp.sum(res.log_likelihood), axis_name=data_ax)
+        return res, total_ll
+
+    # check_vma=False: the filter scan's log-likelihood carry is initialized
+    # from a replicated zero, which jax's varying-axes inference rejects
+    # against the per-shard output; semantics are unaffected.
+    mapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(data_ax), P(data_ax)),
+        out_specs=(P(data_ax), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)(A, C, Q, R, P0, x0s, yss)

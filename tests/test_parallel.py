@@ -300,3 +300,31 @@ def test_mesh_serving_controller():
         xm = xm @ A_j.T + um @ B_j.T
         x1 = x1 @ A_j.T + u1 @ B_j.T
     assert ctrl_m.compile_cache_size() == 1
+
+
+def test_kalman_batched_dp_matches_single_device():
+    """Estimation-side DP: sharded batched KF == vmapped single-device KF,
+    global log-likelihood psum'd."""
+    from numpower_tpu.models import double_integrator
+    from numpower_tpu.models.estimation import kalman_filter_batched
+    from numpower_tpu.parallel.sharding import kalman_filter_batched_dp
+
+    A, B = double_integrator(0.1)
+    C = jnp.array([[1.0, 0.0]])
+    Q = jnp.eye(2) * 1e-3
+    R = jnp.eye(1) * 1e-2
+    P0 = jnp.eye(2) * 0.1
+    rng = np.random.default_rng(9)
+    N, T = 32, 20
+    x0s = jnp.asarray(rng.standard_normal((N, 2)).astype(np.float32))
+    yss = jnp.asarray(rng.standard_normal((N, T, 1)).astype(np.float32))
+    mesh = make_mesh((8, 1))
+    res_dp, total_ll = kalman_filter_batched_dp(
+        jnp.asarray(A), C, Q, R, shard_batch(x0s, mesh), P0,
+        shard_batch(yss, mesh), mesh)
+    res_1d = kalman_filter_batched(jnp.asarray(A), C, Q, R, x0s, P0, yss)
+    np.testing.assert_allclose(np.asarray(res_dp.means),
+                               np.asarray(res_1d.means), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(total_ll),
+                               float(jnp.sum(res_1d.log_likelihood)),
+                               rtol=1e-5)
