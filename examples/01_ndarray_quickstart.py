@@ -8,7 +8,12 @@ persistence, iteration) on the TPU-native array layer.
 
 import jax
 
-jax.config.update("jax_platforms", jax.config.jax_platforms or "cpu")
+import os
+
+if os.environ.get("NPTPU_EXAMPLE_TPU") != "1":
+    # Force CPU: the axon TPU plugin's sitecustomize presets jax_platforms,
+    # and the relay TPU is single-process — examples should always run.
+    jax.config.update("jax_platforms", "cpu")
 
 from numpower_tpu import NDArray, ops  # noqa: E402
 

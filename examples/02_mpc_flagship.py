@@ -6,7 +6,12 @@ Run: PYTHONPATH=. JAX_PLATFORMS=cpu python examples/02_mpc_flagship.py
 
 import jax
 
-jax.config.update("jax_platforms", jax.config.jax_platforms or "cpu")
+import os
+
+if os.environ.get("NPTPU_EXAMPLE_TPU") != "1":
+    # Force CPU: the axon TPU plugin's sitecustomize presets jax_platforms,
+    # and the relay TPU is single-process — examples should always run.
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -20,9 +20,11 @@ makes ADMM's rate condition-number independent (models/admm.py docstring).
 
 Same mixed-precision policy as the FISTA kernel: the first `coarse_iters`
 GEMMs run single-pass bf16 on the MXU (precision=DEFAULT on fp32 operands —
-Mosaic rejects explicit bf16 operands), the fp32-highest tail contracts to
-the fp32 fixed point. ADMM contracts at a condition-independent rate, so a
-short fixed tail suffices on any conditioning (validated in tests).
+Mosaic rejects explicit bf16 operands), the tail contracts to the fp32
+fixed point at bf16x3 precision (3-pass hi/lo split, kernels/precision.py —
+measured ~3.7x faster than Mosaic's HIGHEST at ~1e-5 accuracy). ADMM
+contracts at a condition-independent rate, so a short fixed tail suffices
+on any conditioning (validated in tests).
 """
 
 from __future__ import annotations
@@ -35,6 +37,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from numpower_tpu.kernels.precision import make_tail_dot
 
 
 def _round_up(x: int, m: int) -> int:
@@ -53,7 +57,8 @@ def minv_factor(H: jax.Array, rho) -> jax.Array:
 
 
 def _admm_kernel(minvT_ref, g_ref, params_ref, z0_ref, out_ref, y_out_ref, *,
-                 iters: int, coarse_iters: int):
+                 iters: int, coarse_iters: int,
+                 tail_precision: str = "bf16x3"):
     """One grid step = one scenario tile. MinvT (d_pad, d_pad) VMEM-resident;
     carries (z, y) live in VMEM/registers; fully unrolled static loop.
     Emits both z (the feasible solution) and the scaled dual y so the wrapper
@@ -64,15 +69,16 @@ def _admm_kernel(minvT_ref, g_ref, params_ref, z0_ref, out_ref, y_out_ref, *,
     alpha = params_ref[3]
     g = g_ref[:]
     minvT = minvT_ref[:]
+    tail_dot = make_tail_dot(minvT, tail_precision)
     z = z0_ref[:]
     y = jnp.zeros_like(z)
     for k in range(iters):
-        precision = (
-            lax.Precision.DEFAULT if k < coarse_iters else lax.Precision.HIGHEST
-        )
         rhs = rho * (z - y) - g
-        x = jnp.dot(rhs, minvT, precision=precision,
-                    preferred_element_type=jnp.float32)
+        if k < coarse_iters:
+            x = jnp.dot(rhs, minvT, precision=lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+        else:
+            x = tail_dot(rhs)
         x_r = alpha * x + (1.0 - alpha) * z
         z = jnp.clip(x_r + y, lo, hi)
         y = y + x_r - z
@@ -168,7 +174,7 @@ def admm_boxqp_pallas(
 
 def _admm_g_kernel(minvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref, z0_ref,
                    out_ref, y_out_ref, g_out_ref, *, iters: int,
-                   coarse_iters: int):
+                   coarse_iters: int, tail_precision: str = "bf16x3"):
     """ADMM with IN-KERNEL g formation (kernels/boxqp_fista._fista_g_kernel
     pattern): g = (x0 @ Sx') @ SuTQ' on the VMEM-resident prediction
     matrices, then the iteration loop. Per tile the only HBM traffic is the
@@ -183,15 +189,16 @@ def _admm_g_kernel(minvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref, z0_ref,
                 preferred_element_type=jnp.float32)
     g_out_ref[:] = g
     minvT = minvT_ref[:]
+    tail_dot = make_tail_dot(minvT, tail_precision)
     z = z0_ref[:]
     y = jnp.zeros_like(z)
     for k in range(iters):
-        precision = (
-            lax.Precision.DEFAULT if k < coarse_iters else lax.Precision.HIGHEST
-        )
         rhs = rho * (z - y) - g
-        x = jnp.dot(rhs, minvT, precision=precision,
-                    preferred_element_type=jnp.float32)
+        if k < coarse_iters:
+            x = jnp.dot(rhs, minvT, precision=lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+        else:
+            x = tail_dot(rhs)
         x_r = alpha * x + (1.0 - alpha) * z
         z = jnp.clip(x_r + y, lo, hi)
         y = y + x_r - z
@@ -201,7 +208,8 @@ def _admm_g_kernel(minvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref, z0_ref,
 
 def _admm_g_res_kernel(minvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref,
                        z0_ref, out_ref, rp_ref, rd_ref, *, iters: int,
-                       coarse_iters: int, d: int, n_real: int, tile_n: int):
+                       coarse_iters: int, d: int, n_real: int, tile_n: int,
+                       tail_precision: str = "bf16x3"):
     """_admm_g_kernel variant with BOTH residuals fused in: after the loop,
     one extra VMEM-resident x-update forms the primal/dual residuals and
     reduces them to per-tile scalars. Saves the y and g HBM writes AND the
@@ -216,22 +224,22 @@ def _admm_g_res_kernel(minvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref,
     g = jnp.dot(mid, suqT_ref[:], precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
     minvT = minvT_ref[:]
+    tail_dot = make_tail_dot(minvT, tail_precision)
     z = z0_ref[:]
     y = jnp.zeros_like(z)
     for k in range(iters):
-        precision = (
-            lax.Precision.DEFAULT if k < coarse_iters else lax.Precision.HIGHEST
-        )
         rhs = rho * (z - y) - g
-        x = jnp.dot(rhs, minvT, precision=precision,
-                    preferred_element_type=jnp.float32)
+        if k < coarse_iters:
+            x = jnp.dot(rhs, minvT, precision=lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+        else:
+            x = tail_dot(rhs)
         x_r = alpha * x + (1.0 - alpha) * z
         z = jnp.clip(x_r + y, lo, hi)
         y = y + x_r - z
     out_ref[:] = z
     # exact residuals at the final (z, y): same formulas as the XLA path
-    x = jnp.dot(rho * (z - y) - g, minvT, precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+    x = tail_dot(rho * (z - y) - g)
     z_next = jnp.clip(alpha * x + (1.0 - alpha) * z + y, lo, hi)
     i = pl.program_id(0)
     rows = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)

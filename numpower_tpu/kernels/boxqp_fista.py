@@ -43,17 +43,28 @@ def _fista_betas(iters: int):
     return betas
 
 
-def _fista_loop(g, Ht, step, lo, hi, U0, iters: int, coarse_iters: int):
-    """Shared FISTA iteration body (pure arrays, VMEM-resident)."""
+def _fista_loop(g, Ht, step, lo, hi, U0, iters: int, coarse_iters: int,
+                tail_precision: str = "bf16x3"):
+    """Shared FISTA iteration body (pure arrays, VMEM-resident).
+
+    tail_precision selects the MXU scheme for the fp32 tail GEMMs (see
+    kernels/precision.py): "bf16x3" (default — 3-pass hi/lo split,
+    fp32-level accuracy at a fraction of HIGHEST's cost) or "highest".
+    The coarse phase is always single-pass DEFAULT."""
+    from numpower_tpu.kernels.precision import make_tail_dot
+
     betas = _fista_betas(coarse_iters) + _fista_betas(iters - coarse_iters)
+    tail_dot = make_tail_dot(Ht, tail_precision)
+
     U = U0
     Y = U
     for k in range(iters):
-        precision = (
-            lax.Precision.DEFAULT if k < coarse_iters else lax.Precision.HIGHEST
-        )
-        grad = jnp.dot(Y, Ht, precision=precision,
-                       preferred_element_type=jnp.float32) + g
+        if k < coarse_iters:
+            gemm = jnp.dot(Y, Ht, precision=lax.Precision.DEFAULT,
+                           preferred_element_type=jnp.float32)
+        else:
+            gemm = tail_dot(Y)
+        grad = gemm + g
         U_new = jnp.clip(Y - step * grad, lo, hi)
         beta = 0.0 if k == coarse_iters - 1 else betas[k]
         Y = U_new + beta * (U_new - U)
@@ -91,7 +102,8 @@ def _fista_kernel(Ht_ref, g_ref, lostep_ref, u0_ref, out_ref, *, iters: int,
     counts, validated in tests). First `coarse_iters` iterations contract in
     bf16 on the MXU (precision=DEFAULT with fp32 operands — Mosaic rejects
     explicit bf16 operands but lowers this form to a single-pass matmul);
-    the fp32-highest tail contracts to the fp32 fixed point.
+    the tail contracts to the fp32 fixed point at bf16x3 precision
+    (kernels/precision.py).
     """
     step = lostep_ref[0]
     lo = lostep_ref[1]
@@ -231,7 +243,8 @@ def fista_mpc_pallas(
 
 def _fista_g_res_kernel(Ht_ref, x0_ref, sxT_ref, suqT_ref, lostep_ref, u0_ref,
                         out_ref, res_ref, *, iters: int, coarse_iters: int,
-                        d: int, n_real: int, tile_n: int):
+                        d: int, n_real: int, tile_n: int,
+                        tail_precision: str = "bf16x3"):
     """_fista_g_kernel variant with the RESIDUAL fused in: after the
     iteration loop, one more VMEM-resident GEMM forms the projected-gradient
     residual and reduces it to a per-tile scalar. Saves the g HBM write AND
@@ -245,7 +258,8 @@ def _fista_g_res_kernel(Ht_ref, x0_ref, sxT_ref, suqT_ref, lostep_ref, u0_ref,
                   preferred_element_type=jnp.float32)
     g = jnp.dot(mid, suqT_ref[:], precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
-    U = _fista_loop(g, Ht_ref[:], step, lo, hi, u0_ref[:], iters, coarse_iters)
+    U = _fista_loop(g, Ht_ref[:], step, lo, hi, u0_ref[:], iters, coarse_iters,
+                    tail_precision)
     out_ref[:] = U
     grad = jnp.dot(U, Ht_ref[:], precision=lax.Precision.HIGHEST,
                    preferred_element_type=jnp.float32) + g
@@ -266,7 +280,9 @@ def _fista_g_res_kernel(Ht_ref, x0_ref, sxT_ref, suqT_ref, lostep_ref, u0_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "coarse_iters", "tile_n", "interpret")
+    jax.jit,
+    static_argnames=("iters", "coarse_iters", "tile_n", "interpret",
+                     "tail_precision"),
 )
 def fista_mpc_pallas_res(
     H: jax.Array,        # (d, d)
@@ -281,6 +297,7 @@ def fista_mpc_pallas_res(
     tile_n: int = 1024,
     interpret: bool = False,
     U0: Optional[jax.Array] = None,
+    tail_precision: str = "bf16x3",
 ):
     """fista_mpc_pallas with the residual FUSED into the kernel: returns
     (U (N, d), resid scalar). The only HBM traffic per tile is the x0 read
@@ -310,6 +327,7 @@ def fista_mpc_pallas_res(
     kernel = functools.partial(
         _fista_g_res_kernel, iters=iters,
         coarse_iters=min(coarse_iters, iters), d=d, n_real=N, tile_n=tile_n,
+        tail_precision=tail_precision,
     )
     U, res = pl.pallas_call(
         kernel,
