@@ -30,8 +30,12 @@ from numpower_tpu.models.mppi import (  # noqa: F401
     MPPIResult, mppi_solve, mppi_solve_batched, mppi_step, quadratic_mppi_cost,
 )
 from numpower_tpu.models.estimation import (  # noqa: F401
-    KalmanResult, SmootherResult, kalman_filter, kalman_filter_batched,
-    kalman_filter_associative, kalman_smoother, ekf_filter, ukf_filter,
+    KalmanResult, SmootherResult, SqrtKalmanResult, kalman_filter,
+    kalman_filter_batched, kalman_filter_associative, kalman_filter_sqrt,
+    kalman_smoother, ekf_filter, ukf_filter,
+)
+from numpower_tpu.models.particle import (  # noqa: F401
+    ParticleFilterResult, particle_filter, particle_filter_batched,
 )
 from numpower_tpu.models.mhe import MHEResult, mhe_solve  # noqa: F401
 from numpower_tpu.models.tube import TubeMPCResult, tube_mpc_solve  # noqa: F401

@@ -184,6 +184,95 @@ def ekf_filter(
                         pred_covs=Ps_p, log_likelihood=ll)
 
 
+class SqrtKalmanResult(NamedTuple):
+    means: jax.Array            # (T, n) filtered means
+    chol_covs: jax.Array        # (T, n, n) lower-triangular S with P = S S'
+    pred_means: jax.Array       # (T, n) one-step predictions
+    pred_chol_covs: jax.Array   # (T, n, n) lower S_p with P_p = S_p S_p'
+    log_likelihood: jax.Array   # scalar
+
+
+def _positive_diag(L):
+    """Flip column signs of a (block-)triangular factor so its diagonal is
+    positive — QR is unique only up to column signs, and the innovation
+    log-det needs log(diag) > 0. Preserves L @ L.T."""
+    s = jnp.sign(jnp.diagonal(L))
+    s = jnp.where(s == 0, 1.0, s)
+    return L * s[None, :]
+
+
+def kalman_filter_sqrt(
+    A: jax.Array,
+    C: jax.Array,
+    Q: jax.Array,
+    R: jax.Array,
+    x0: jax.Array,
+    P0: jax.Array,
+    ys: jax.Array,       # (T, p)
+    B: Optional[jax.Array] = None,
+    us: Optional[jax.Array] = None,
+) -> SqrtKalmanResult:
+    """Square-root (array) Kalman filter: propagates S = chol(P) via QR
+    triangularization instead of P itself.
+
+    The fp32-robust form for TPU: P = S S' is PSD **by construction** at any
+    precision, where the covariance recursion `P - K C P` loses definiteness
+    once kappa(P) approaches 1/eps_fp32 (~1.7e7). Condition numbers are also
+    halved (kappa(S) = sqrt(kappa(P))). Per step: two small QR
+    factorizations on the MXU instead of the symmetrize-and-hope updates of
+    kalman_filter — same means/likelihood to fp32 tolerance (tested), same
+    scan structure, jit/vmap-compatible.
+
+    Predict:  qr([S' A'; Sq']) -> R_up,  S_p = fix(R_up)'.
+    Update:   qr([[S_p'C', S_p'], [Sr', 0]]) -> post-array
+              [[S_y, 0], [Kbar, S_f]] with K = Kbar S_y^{-1} — the
+              Kaminski/Grewal condensed array algorithm.
+    """
+    T = ys.shape[0]
+    n = x0.shape[0]
+    p = ys.shape[1]
+    dt = x0.dtype
+    if us is None:
+        u_terms = jnp.zeros((T, n), dt)
+    else:
+        if B is None:
+            raise ValueError("us requires B (the input matrix)")
+        u_terms = us @ B.T
+
+    Sq = jnp.linalg.cholesky(0.5 * (Q + Q.T))
+    Sr = jnp.linalg.cholesky(0.5 * (R + R.T))
+    S0 = jnp.linalg.cholesky(0.5 * (P0 + P0.T))
+    log2pi = jnp.asarray(jnp.log(2.0 * jnp.pi), dt)
+
+    def step(carry, inputs):
+        x, S, ll = carry
+        y, u_term = inputs
+        # predict
+        x_p = A @ x + u_term
+        pre_p = jnp.concatenate([S.T @ A.T, Sq.T], axis=0)      # (2n, n)
+        S_p = _positive_diag(jnp.linalg.qr(pre_p, mode="r").T)  # (n, n) lower
+        # update via one (n+p, p+n) QR
+        pre_u = jnp.concatenate([
+            jnp.concatenate([S_p.T @ C.T, S_p.T], axis=1),       # (n, p+n)
+            jnp.concatenate([Sr.T, jnp.zeros((p, n), dt)], axis=1),  # (p, p+n)
+        ], axis=0)
+        L = _positive_diag(jnp.linalg.qr(pre_u, mode="r").T)    # (p+n, p+n)
+        S_y = L[:p, :p]
+        Kbar = L[p:, :p]
+        S_f = L[p:, p:]
+        v = y - C @ x_p
+        alpha = jax.scipy.linalg.solve_triangular(S_y, v, lower=True)
+        x_f = x_p + Kbar @ alpha
+        l = -0.5 * (alpha @ alpha + p * log2pi) - jnp.sum(
+            jnp.log(jnp.diagonal(S_y)))
+        return (x_f, S_f, ll + l), (x_f, S_f, x_p, S_p)
+
+    (_, _, ll), (xs_f, Ss_f, xs_p, Ss_p) = lax.scan(
+        step, (x0, S0, jnp.asarray(0.0, dt)), (ys, u_terms))
+    return SqrtKalmanResult(means=xs_f, chol_covs=Ss_f, pred_means=xs_p,
+                            pred_chol_covs=Ss_p, log_likelihood=ll)
+
+
 class _KFElement(NamedTuple):
     """Parallel-filter element (Sarkka & Garcia-Fernandez, "Temporal
     Parallelization of Bayesian Smoothers", PAPERS.md): represents

@@ -373,3 +373,172 @@ def test_ukf_pendulum_tracks_like_ekf():
     assert e_ukf < 0.05
     assert e_ukf < 2.0 * e_ekf  # comparable accuracy on a smooth plant
     assert np.isfinite(float(r_ukf.log_likelihood))
+
+
+# --- square-root Kalman filter ----------------------------------------------
+
+
+def test_sqrt_kalman_matches_standard(lti_data):
+    """QR array algorithm must reproduce the covariance-form filter (means,
+    covariances via S S', and log-likelihood) to fp32 tolerance."""
+    from numpower_tpu.models import kalman_filter_sqrt
+
+    A, B, C, Q, R, xs_true, ys = lti_data
+    x0 = jnp.array([1.0, 0.0]); P0 = jnp.eye(2) * 0.1
+    ref = kalman_filter(A, C, Q, R, x0, P0, ys)
+    res = kalman_filter_sqrt(A, C, Q, R, x0, P0, ys)
+    np.testing.assert_allclose(np.asarray(res.means), np.asarray(ref.means),
+                               atol=1e-5)
+    covs = np.asarray(res.chol_covs) @ np.asarray(res.chol_covs).transpose(
+        0, 2, 1)
+    np.testing.assert_allclose(covs, np.asarray(ref.covs), atol=1e-5)
+    pcovs = np.asarray(res.pred_chol_covs) @ np.asarray(
+        res.pred_chol_covs).transpose(0, 2, 1)
+    np.testing.assert_allclose(pcovs, np.asarray(ref.pred_covs), atol=1e-5)
+    np.testing.assert_allclose(float(res.log_likelihood),
+                               float(ref.log_likelihood), rtol=1e-4)
+
+
+def test_sqrt_kalman_with_inputs_jit_vmap(lti_data):
+    from numpower_tpu.models import kalman_filter_sqrt
+
+    A, B, C, Q, R, xs_true, ys = lti_data
+    T = ys.shape[0]
+    us = jnp.asarray(0.1 * np.sin(np.arange(T, dtype=np.float32)))[:, None]
+    x0 = jnp.array([1.0, 0.0]); P0 = jnp.eye(2) * 0.1
+    ref = kalman_filter(A, C, Q, R, x0, P0, ys, B=B, us=us)
+    res = jax.jit(
+        lambda x0, ys, us: kalman_filter_sqrt(
+            A, C, Q, R, x0, P0, ys, B=B, us=us)
+    )(x0, ys, us)
+    np.testing.assert_allclose(np.asarray(res.means), np.asarray(ref.means),
+                               atol=1e-5)
+    # vmap over a small batch
+    x0s = jnp.stack([x0, x0 + 0.5])
+    yss = jnp.stack([ys, ys + 0.1])
+    vres = jax.vmap(
+        lambda x0, ys: kalman_filter_sqrt(A, C, Q, R, x0, P0, ys)
+    )(x0s, yss)
+    single = kalman_filter_sqrt(A, C, Q, R, x0s[1], P0, yss[1])
+    np.testing.assert_allclose(np.asarray(vres.means[1]),
+                               np.asarray(single.means), atol=1e-6)
+
+
+def test_sqrt_kalman_ill_conditioned_stays_psd():
+    """The regime the square-root form exists for: tiny measurement noise +
+    wide prior (kappa(P) ~ 1e7) where the covariance-form update can lose
+    definiteness in fp32. S S' is PSD by construction: every step's
+    reconstructed covariance must have nonnegative eigenvalues."""
+    from numpower_tpu.models import kalman_filter_sqrt
+
+    A, B = double_integrator(0.1)
+    C = jnp.array([[1.0, 0.0]])
+    Q = jnp.eye(2) * 1e-8
+    R = jnp.eye(1) * 1e-9   # ~exact position measurements
+    P0 = jnp.eye(2) * 1e2   # wide prior: kappa(S_pre) ~ 1e6
+    rng = np.random.default_rng(5)
+    T = 40
+    ys = jnp.asarray(rng.standard_normal((T, 1)).astype(np.float32))
+    res = kalman_filter_sqrt(A, C, Q, R, jnp.zeros(2), P0, ys)
+    covs = np.asarray(res.chol_covs) @ np.asarray(res.chol_covs).transpose(
+        0, 2, 1)
+    eigs = np.linalg.eigvalsh(covs)
+    assert np.all(eigs >= 0.0)
+    assert np.all(np.isfinite(np.asarray(res.means)))
+    assert np.isfinite(float(res.log_likelihood))
+
+
+# --- particle filter ---------------------------------------------------------
+
+
+def test_particle_filter_matches_kf_on_linear_gaussian(lti_data):
+    """On an LTI Gaussian plant the bootstrap PF is a Monte Carlo estimate of
+    the exact KF posterior: means must track within MC error and the
+    log-likelihood must land near the exact innovation likelihood."""
+    from numpower_tpu.models import particle_filter
+
+    A, B, C, Q, R, xs_true, ys = lti_data
+    x0 = jnp.array([1.0, 0.0]); P0 = jnp.eye(2) * 0.1
+    ref = kalman_filter(A, C, Q, R, x0, P0, ys)
+    A_j = jnp.asarray(A)
+    f = lambda x, u: A_j @ x
+    h = lambda x: x[:1]
+    T = ys.shape[0]
+    us = jnp.zeros((T, 1))
+    res = particle_filter(f, h, Q, R, x0, P0, ys, us, jax.random.key(0),
+                          n_particles=4096)
+    err = np.abs(np.asarray(res.means) - np.asarray(ref.means)).mean()
+    scale = np.abs(np.asarray(ref.means)).mean()
+    assert err < 0.05 * max(scale, 1.0)
+    # log-likelihood within ~2% of the exact value
+    assert abs(float(res.log_likelihood) - float(ref.log_likelihood)) < max(
+        0.02 * abs(float(ref.log_likelihood)), 2.0)
+    assert np.all(np.asarray(res.ess) >= 1.0)
+
+
+def test_particle_filter_resampling_keeps_ess_healthy(lti_data):
+    """With resampling on, ESS must stay above the degeneracy floor; with it
+    off (threshold 0) the weights are free to collapse."""
+    from numpower_tpu.models import particle_filter
+
+    A, B, C, Q, R, xs_true, ys = lti_data
+    x0 = jnp.array([1.0, 0.0]); P0 = jnp.eye(2) * 0.1
+    A_j = jnp.asarray(A)
+    f = lambda x, u: A_j @ x
+    h = lambda x: x[:1]
+    us = jnp.zeros((ys.shape[0], 1))
+    N = 512
+    on = particle_filter(f, h, Q, R, x0, P0, ys, us, jax.random.key(1),
+                         n_particles=N, resample_threshold=0.5)
+    off = particle_filter(f, h, Q, R, x0, P0, ys, us, jax.random.key(1),
+                          n_particles=N, resample_threshold=0.0)
+    assert float(np.min(np.asarray(on.ess))) > 0.05 * N
+    assert float(np.min(np.asarray(off.ess))) < float(
+        np.min(np.asarray(on.ess)))
+
+
+def test_particle_filter_nonlinear_tracks_and_is_reproducible():
+    """Pendulum with angle-only measurements: PF must beat dead reckoning
+    (the EKF test's bar) and be key-reproducible; jit and batched paths
+    agree with the direct call."""
+    from numpower_tpu.models import particle_filter, particle_filter_batched
+
+    rng = np.random.default_rng(3)
+    T = 60
+    us = jnp.asarray(0.5 * np.sin(0.3 * np.arange(T)).astype(np.float32)
+                     ).reshape(T, 1)
+    xs_true = rollout_nonlinear(pendulum_step, jnp.array([0.5, 0.0]), us)
+    ys = jnp.asarray(np.asarray(xs_true[1:, 0]).reshape(T, 1)
+                     + 0.05 * rng.standard_normal((T, 1)).astype(np.float32))
+    h = lambda x: x[:1]
+    Q = jnp.eye(2) * 1e-4
+    R = jnp.eye(1) * 2.5e-3
+    x0 = jnp.array([0.0, 0.0]); P0 = jnp.eye(2) * 1.0
+    key = jax.random.key(7)
+    res = particle_filter(pendulum_step, h, Q, R, x0, P0, ys, us, key,
+                          n_particles=2048)
+    err_pf = np.abs(np.asarray(res.means)[:, 0]
+                    - np.asarray(xs_true)[1:, 0]).mean()
+    dead = rollout_nonlinear(pendulum_step, x0, us)
+    err_dead = np.abs(np.asarray(dead)[1:, 0]
+                      - np.asarray(xs_true)[1:, 0]).mean()
+    assert err_pf < 0.5 * err_dead
+    assert err_pf < 0.08
+    # reproducible under the same key; jit parity
+    res2 = particle_filter(pendulum_step, h, Q, R, x0, P0, ys, us, key,
+                           n_particles=2048)
+    np.testing.assert_array_equal(np.asarray(res.means),
+                                  np.asarray(res2.means))
+    jres = jax.jit(
+        lambda x0, ys, us, key: particle_filter(
+            pendulum_step, h, Q, R, x0, P0, ys, us, key, n_particles=2048)
+    )(x0, ys, us, key)
+    np.testing.assert_allclose(np.asarray(jres.means),
+                               np.asarray(res.means), atol=1e-5)
+    # batched wrapper runs and each row is a valid filter
+    bres = particle_filter_batched(
+        pendulum_step, h, Q, R, jnp.stack([x0, x0]), P0,
+        jnp.stack([ys, ys]), jnp.stack([us, us]), jax.random.key(9),
+        n_particles=256)
+    assert bres.means.shape == (2, T, 2)
+    assert np.all(np.isfinite(np.asarray(bres.log_likelihood)))
