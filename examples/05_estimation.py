@@ -1,4 +1,4 @@
-"""Estimation family: KF / RTS smoother / EKF / UKF / MHE.
+"""Estimation family: KF / sqrt-KF / RTS smoother / EKF / UKF / PF / MHE.
 
 Run: PYTHONPATH=. JAX_PLATFORMS=cpu python examples/05_estimation.py
 """
@@ -61,3 +61,16 @@ for name, f in [("EKF", ekf_filter), ("UKF", ukf_filter)]:
           jnp.array([0.5, 0.0]), jnp.eye(2), ys2, us)
     e = np.abs(np.asarray(r.means)[:, 0] - np.asarray(xs_t)[1:, 0]).mean()
     print(f"{name} pendulum angle err: {e:.4f}")
+
+# square-root filter: identical posterior, PSD by construction in fp32
+from numpower_tpu.models import kalman_filter_sqrt, particle_filter  # noqa: E402
+
+sq = kalman_filter_sqrt(A, C, Q, R, x0, P0, ys)
+print(f"sqrt-KF == KF: {float(jnp.max(jnp.abs(sq.means - filt.means))):.1e}")
+
+# particle filter: the non-Gaussian member (pendulum, angle-only sensing)
+pf = particle_filter(pendulum_step, h, jnp.eye(2) * 1e-4, jnp.eye(1) * 1e-3,
+                     jnp.array([0.5, 0.0]), jnp.eye(2), ys2, us,
+                     jax.random.key(0), n_particles=2048)
+e = np.abs(np.asarray(pf.means)[:, 0] - np.asarray(xs_t)[1:, 0]).mean()
+print(f"PF pendulum angle err: {e:.4f} (min ESS {float(pf.ess.min()):.0f})")
