@@ -9,9 +9,28 @@ Same speed-of-light argument as kernels/boxqp_fista.py: the ADMM iteration
 
 is one (tile, d) @ (d, d) GEMM plus VPU elementwise work. The XLA scan
 version re-reads z/y/g (~2 MB each at N=4096, d=120) from HBM every
-iteration; here Minv (d^2 fp32, ~57 KB for the flagship) stays VMEM-resident
-and the (z, y) carries live on-chip, so per tile the only HBM traffic is one
-read of g and one write of z.
+iteration; here the solve matrix (d^2 fp32, ~57 KB for the flagship) stays
+VMEM-resident and the carry lives on-chip, so per tile the only HBM traffic
+is the tiny x0/g read and the z write.
+
+s-form iteration (the VPU-lean rewrite these kernels run): carry the single
+pre-projection state s = x_r + y instead of (z, y) — then z = clip(s),
+y = s - z, and the recursion collapses to
+
+    p = clip(s, lo, hi)                      [1 VPU op]
+    t = 2 p - s                (= z - y)     [1 fma]
+    u = t @ (rho Minv)'                      [the GEMM]
+    s' = s + alpha (u - c - p)               [3 VPU ops]
+
+with c = Minv g an iteration-invariant formed once per tile (for the MPC
+variants, folded into the prediction-matrix chain: c = (x0 Sx')(Su'Q)'Minv'
+— zero extra GEMMs). Algebraically identical to the (z, y) form (the
+over-relaxed exact-solve ADMM), but ~5 VPU ops/iteration instead of ~10 and
+one live carry instead of two — measured 1.09x on the v5e flagship. It is
+also slightly MORE accurate in the bf16 coarse phase: the MXU operand
+t = z - y is box-bounded (~O(1)) where the old rhs rho(z-y) - g carried g's
+magnitude, so bf16 rounding hits a smaller dynamic range (both residuals
+measured ~40% lower at the flagship's 27-coarse-iteration schedule).
 
 Minv = (H + rho I)^{-1} is formed ONCE outside the kernel (d x d Cholesky +
 two triangular solves — trivial next to the iters x N x d^2 GEMM stream) and
@@ -56,34 +75,44 @@ def minv_factor(H: jax.Array, rho) -> jax.Array:
     return Linv.T @ Linv
 
 
-def _admm_kernel(minvT_ref, g_ref, params_ref, z0_ref, out_ref, y_out_ref, *,
+def _s_loop(s, c, rminvT, lo, hi, alpha, iters: int, coarse_iters: int,
+            tail_precision: str = "bf16x3"):
+    """Shared s-form iteration body (pure arrays, VMEM-resident). rminvT is
+    (rho Minv)' and c = Minv g; returns the final pre-projection state s
+    (z = clip(s), y = s - z)."""
+    tail_dot = make_tail_dot(rminvT, tail_precision)
+    for k in range(iters):
+        p = jnp.clip(s, lo, hi)
+        t = 2.0 * p - s
+        if k < coarse_iters:
+            u = jnp.dot(t, rminvT, precision=lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+        else:
+            u = tail_dot(t)
+        s = s + alpha * (u - c - p)
+    return s
+
+
+def _admm_kernel(rminvT_ref, g_ref, params_ref, z0_ref, out_ref, y_out_ref, *,
                  iters: int, coarse_iters: int,
                  tail_precision: str = "bf16x3"):
-    """One grid step = one scenario tile. MinvT (d_pad, d_pad) VMEM-resident;
-    carries (z, y) live in VMEM/registers; fully unrolled static loop.
-    Emits both z (the feasible solution) and the scaled dual y so the wrapper
-    can form the exact primal/dual residuals."""
+    """One grid step = one scenario tile. rminvT (d_pad, d_pad) VMEM-resident;
+    c = Minv g formed with one extra GEMM ((g @ rminvT) / rho — amortized
+    over the iteration count); the single carry s lives in VMEM/registers;
+    fully unrolled static loop. Emits both z (the feasible solution) and the
+    scaled dual y = s - z so the wrapper can form exact residuals."""
     rho = params_ref[0]
     lo = params_ref[1]
     hi = params_ref[2]
     alpha = params_ref[3]
-    g = g_ref[:]
-    minvT = minvT_ref[:]
-    tail_dot = make_tail_dot(minvT, tail_precision)
-    z = z0_ref[:]
-    y = jnp.zeros_like(z)
-    for k in range(iters):
-        rhs = rho * (z - y) - g
-        if k < coarse_iters:
-            x = jnp.dot(rhs, minvT, precision=lax.Precision.DEFAULT,
-                        preferred_element_type=jnp.float32)
-        else:
-            x = tail_dot(rhs)
-        x_r = alpha * x + (1.0 - alpha) * z
-        z = jnp.clip(x_r + y, lo, hi)
-        y = y + x_r - z
+    rminvT = rminvT_ref[:]
+    c = jnp.dot(g_ref[:], rminvT, precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32) * (1.0 / rho)
+    s = _s_loop(z0_ref[:], c, rminvT, lo, hi, alpha, iters, coarse_iters,
+                tail_precision)
+    z = jnp.clip(s, lo, hi)
     out_ref[:] = z
-    y_out_ref[:] = y
+    y_out_ref[:] = s - z
 
 
 @functools.partial(
@@ -108,7 +137,7 @@ def admm_boxqp_pallas(
     Returns (z, y): the feasible iterate and scaled dual, both (N, d).
     Zero-pads d to the 128-lane boundary and N to the tile. Padded Minv
     rows/cols are zero, so padded columns never couple into real ones
-    (padded z/y columns evolve as clip-of-garbage but are sliced away).
+    (padded s columns evolve as clip-of-garbage but are sliced away).
     U0 warm-starts z (clipped); cold start is z0 = clip(0, lo, hi) — the
     SAME iterate sequence as models/admm.solve_boxqp_admm, so the backends
     agree even when the box excludes zero. Pass a precomputed Minv =
@@ -116,9 +145,9 @@ def admm_boxqp_pallas(
     """
     N, d = g.shape
     d_pad = _round_up(d, 128)
-    # VMEM envelope: minvT (d_pad^2) + 4 tile buffers (g, z0, z_out, y_out)
-    # + the live (z, y) carries — scale the tile down as d grows so the
-    # per-tile footprint stays ~the flagship's (d_pad=128, tile=1024) size.
+    # VMEM envelope: rminvT (d_pad^2) + 4 tile buffers (g, z0, z_out, y_out)
+    # + the live s carry — scale the tile down as d grows so the per-tile
+    # footprint stays ~the flagship's (d_pad=128, tile=1024) size.
     tile_n = min(tile_n, max(128, (1024 * 128) // d_pad))
     tile_n = min(tile_n, _round_up(N, 8))
     n_pad = _round_up(N, tile_n)
@@ -127,7 +156,7 @@ def admm_boxqp_pallas(
     if Minv is None:
         Minv = minv_factor(H, rho)
 
-    minvT = jnp.zeros((d_pad, d_pad), dt).at[:d, :d].set(Minv.T)
+    rminvT = jnp.zeros((d_pad, d_pad), dt).at[:d, :d].set(rho * Minv.T)
     g_p = jnp.zeros((n_pad, d_pad), dt).at[:N, :d].set(g)
     if U0 is None:
         z0 = jnp.clip(jnp.zeros((n_pad, d_pad), dt), lo, hi)
@@ -162,23 +191,23 @@ def admm_boxqp_pallas(
             jax.ShapeDtypeStruct((n_pad, d_pad), dt),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * d_pad * d_pad * iters,
+            flops=2 * n_pad * d_pad * d_pad * (iters + 1),
             bytes_accessed=(d_pad * d_pad + 4 * n_pad * d_pad) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(minvT, g_p, params, z0)
+    )(rminvT, g_p, params, z0)
     z, y = out
     return z[:N, :d], y[:N, :d]
 
 
-def _admm_g_kernel(minvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref, z0_ref,
+def _admm_g_kernel(rminvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref, z0_ref,
                    out_ref, y_out_ref, g_out_ref, *, iters: int,
                    coarse_iters: int, tail_precision: str = "bf16x3"):
     """ADMM with IN-KERNEL g formation (kernels/boxqp_fista._fista_g_kernel
     pattern): g = (x0 @ Sx') @ SuTQ' on the VMEM-resident prediction
-    matrices, then the iteration loop. Per tile the only HBM traffic is the
-    tiny x0 read and the (z, y, g) writes."""
+    matrices, c = Minv g via one more GEMM, then the s-form loop. Per tile
+    the only HBM traffic is the tiny x0 read and the (z, y, g) writes."""
     rho = params_ref[0]
     lo = params_ref[1]
     hi = params_ref[2]
@@ -188,32 +217,27 @@ def _admm_g_kernel(minvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref, z0_ref,
     g = jnp.dot(mid, suqT_ref[:], precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
     g_out_ref[:] = g
-    minvT = minvT_ref[:]
-    tail_dot = make_tail_dot(minvT, tail_precision)
-    z = z0_ref[:]
-    y = jnp.zeros_like(z)
-    for k in range(iters):
-        rhs = rho * (z - y) - g
-        if k < coarse_iters:
-            x = jnp.dot(rhs, minvT, precision=lax.Precision.DEFAULT,
-                        preferred_element_type=jnp.float32)
-        else:
-            x = tail_dot(rhs)
-        x_r = alpha * x + (1.0 - alpha) * z
-        z = jnp.clip(x_r + y, lo, hi)
-        y = y + x_r - z
+    rminvT = rminvT_ref[:]
+    c = jnp.dot(g, rminvT, precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32) * (1.0 / rho)
+    s = _s_loop(z0_ref[:], c, rminvT, lo, hi, alpha, iters, coarse_iters,
+                tail_precision)
+    z = jnp.clip(s, lo, hi)
     out_ref[:] = z
-    y_out_ref[:] = y
+    y_out_ref[:] = s - z
 
 
-def _admm_g_res_kernel(minvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref,
+def _admm_g_res_kernel(rminvT_ref, x0_ref, sxT_ref, suqcT_ref, params_ref,
                        z0_ref, out_ref, rp_ref, rd_ref, *, iters: int,
                        coarse_iters: int, d: int, n_real: int, tile_n: int,
                        tail_precision: str = "bf16x3"):
-    """_admm_g_kernel variant with BOTH residuals fused in: after the loop,
-    one extra VMEM-resident x-update forms the primal/dual residuals and
-    reduces them to per-tile scalars. Saves the y and g HBM writes AND the
-    caller's external residual pass (which re-read z/y/g from HBM). Padded
+    """_admm_g_kernel variant with BOTH residuals fused in. Here c = Minv g
+    is formed directly from the folded prediction chain
+    c = (x0 @ Sx') @ ((Su'Q)' Minv') — the Minv fold happens once on the
+    host, so g is never materialized at all. After the loop, one extra
+    VMEM-resident x-update forms the primal/dual residuals and reduces them
+    to per-tile scalars. Saves the y and g HBM writes AND the caller's
+    external residual pass (which re-read z/y/g from HBM). Padded
     rows/columns are masked out of the maxes."""
     rho = params_ref[0]
     lo = params_ref[1]
@@ -221,26 +245,18 @@ def _admm_g_res_kernel(minvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref,
     alpha = params_ref[3]
     mid = jnp.dot(x0_ref[:], sxT_ref[:], precision=lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32)
-    g = jnp.dot(mid, suqT_ref[:], precision=lax.Precision.HIGHEST,
+    c = jnp.dot(mid, suqcT_ref[:], precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
-    minvT = minvT_ref[:]
-    tail_dot = make_tail_dot(minvT, tail_precision)
-    z = z0_ref[:]
-    y = jnp.zeros_like(z)
-    for k in range(iters):
-        rhs = rho * (z - y) - g
-        if k < coarse_iters:
-            x = jnp.dot(rhs, minvT, precision=lax.Precision.DEFAULT,
-                        preferred_element_type=jnp.float32)
-        else:
-            x = tail_dot(rhs)
-        x_r = alpha * x + (1.0 - alpha) * z
-        z = jnp.clip(x_r + y, lo, hi)
-        y = y + x_r - z
+    rminvT = rminvT_ref[:]
+    tail_dot = make_tail_dot(rminvT, tail_precision)
+    s = _s_loop(z0_ref[:], c, rminvT, lo, hi, alpha, iters, coarse_iters,
+                tail_precision)
+    z = jnp.clip(s, lo, hi)
     out_ref[:] = z
-    # exact residuals at the final (z, y): same formulas as the XLA path
-    x = tail_dot(rho * (z - y) - g)
-    z_next = jnp.clip(alpha * x + (1.0 - alpha) * z + y, lo, hi)
+    # exact residuals at the final (z, y = s - z): same formulas as the XLA
+    # path — x = (rho(z-y) - g) @ Minv' = (2z - s) @ rminvT - c
+    x = tail_dot(2.0 * z - s) - c
+    z_next = jnp.clip(s + alpha * (x - z), lo, hi)
     i = pl.program_id(0)
     rows = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
@@ -294,9 +310,11 @@ def admm_mpc_pallas_res(
 
     if Minv is None:
         Minv = minv_factor(H, rho)
-    minvT = jnp.zeros((d_pad, d_pad), dt).at[:d, :d].set(Minv.T)
+    rminvT = jnp.zeros((d_pad, d_pad), dt).at[:d, :d].set(rho * Minv.T)
     sxT = jnp.zeros((n_col_pad, tn_pad), dt).at[:n, :tn].set(SxT)
-    suqT = jnp.zeros((tn_pad, d_pad), dt).at[:tn, :d].set(SuTQT)
+    # fold Minv into the second prediction GEMM: the kernel forms
+    # c = Minv g = (x0 @ Sx') @ ((Su'Q)' Minv') without materializing g
+    suqcT = jnp.zeros((tn_pad, d_pad), dt).at[:tn, :d].set(SuTQT @ Minv.T)
     x0_p = jnp.zeros((n_pad_batch, n_col_pad), dt).at[:N, :n].set(x0s)
     z0 = jnp.clip(jnp.zeros((n_pad_batch, d_pad), dt), lo, hi)
     params = jnp.stack([
@@ -334,7 +352,7 @@ def admm_mpc_pallas_res(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(minvT, x0_p, sxT, suqT, params, z0)
+    )(rminvT, x0_p, sxT, suqcT, params, z0)
     return z[:N, :d], rp[0, 0], rd[0, 0]
 
 
@@ -372,7 +390,7 @@ def admm_mpc_pallas(
 
     if Minv is None:
         Minv = minv_factor(H, rho)
-    minvT = jnp.zeros((d_pad, d_pad), dt).at[:d, :d].set(Minv.T)
+    rminvT = jnp.zeros((d_pad, d_pad), dt).at[:d, :d].set(rho * Minv.T)
     sxT = jnp.zeros((n_col_pad, tn_pad), dt).at[:n, :tn].set(SxT)
     suqT = jnp.zeros((tn_pad, d_pad), dt).at[:tn, :d].set(SuTQT)
     x0_p = jnp.zeros((n_pad_batch, n_col_pad), dt).at[:N, :n].set(x0s)
@@ -406,11 +424,11 @@ def admm_mpc_pallas(
             jax.ShapeDtypeStruct((n_pad_batch, d_pad), dt),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad_batch * d_pad * d_pad * iters,
+            flops=2 * n_pad_batch * d_pad * d_pad * (iters + 1),
             bytes_accessed=(d_pad * d_pad + 5 * n_pad_batch * d_pad) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(minvT, x0_p, sxT, suqT, params, z0)
+    )(rminvT, x0_p, sxT, suqT, params, z0)
     z, y, g = out
     return z[:N, :d], y[:N, :d], g[:N, :d]

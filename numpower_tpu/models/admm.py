@@ -112,15 +112,18 @@ def solve_mpc_boxqp_admm(
     sqrt(lipschitz * reg floor), the classic geometric-mean heuristic.
 
     method="auto" picks the fused Pallas kernel (kernels/boxqp_admm.py:
-    VMEM-resident Minv, on-chip iteration loop) on TPU backends for
-    d <= 1024, the XLA scan elsewhere. On the Pallas path coarse_iters
-    defaults to iters - 12: leading x-update GEMMs run single-pass bf16 and
-    the fp32 tail contracts the perturbation below 1e-6 — measured 6e-7 vs
-    all-fp32 on the flagship AND on kappa=37 QPs (the exact-solve iteration
-    map is strongly contractive regardless of conditioning, unlike first-
-    order FISTA which needs the kappa-scaled tail). Measured v5e: 50.3M
-    solves/s vs 20.4M all-fp32 vs 16.2M XLA. Pass coarse_iters=0 to force
-    all-fp32."""
+    VMEM-resident solve matrix, on-chip s-form iteration loop) on TPU
+    backends for d <= 1024, the XLA scan elsewhere. On the Pallas path
+    coarse_iters defaults to iters - 8: leading x-update GEMMs run
+    single-pass bf16 and the fp32 tail contracts the perturbation to
+    ~3e-5 (measured vs the all-fp32 kernel at the flagship; the exact-solve
+    iteration map is strongly contractive regardless of conditioning, unlike
+    first-order FISTA which needs the kappa-scaled tail — the s-form kernel
+    also rounds the box-bounded z - y operand in bf16 rather than the
+    g-magnitude rhs, roughly halving the coarse-phase perturbation). Each
+    tail iteration costs 3 MXU passes (bf16x3) vs the coarse phase's 1;
+    the tail-8 schedule measured 59.9-45.1 us/4096-batch on v5e (68-91M
+    solves/s). Pass coarse_iters=0 to force all-fp32."""
     if rho is None:
         # geometric mean of the extreme eigenvalue bounds — the classic
         # condition-balanced ADMM penalty (qp.mu = lam_min(R) <= lam_min(H))
@@ -135,7 +138,7 @@ def solve_mpc_boxqp_admm(
         )
 
         if coarse_iters is None:
-            coarse_iters = max(0, iters - 12)
+            coarse_iters = max(0, iters - 8)
         over_relax = 1.6
         Minv = minv_factor(qp.H, rho)  # shared: kernel x-updates + residuals
         tn = qp.Sx.shape[0]
