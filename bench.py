@@ -377,6 +377,30 @@ def bench_estimation(scenarios: int, reps: int):
             f"-> {N/t:,.0f} filters/s ({N*T/t/1e6:.1f}M updates/s)"
         )
 
+    # particle filter: batched nonlinear SMC throughput (plant evals/s is
+    # the cost driver: N_traj x n_particles x T pendulum steps per call)
+    from numpower_tpu.models import particle_filter_batched, pendulum_step
+
+    N_pf, P_pf, T_pf = min(scenarios // 16, 256), 1024, 50
+    h_pf = lambda x: x[:1]
+    ys_pf = jnp.asarray(rng.standard_normal((N_pf, T_pf, 1)).astype(np.float32))
+    us_pf = jnp.zeros((N_pf, T_pf, 1), jnp.float32)
+    x0s_pf = jnp.asarray(
+        0.3 * rng.standard_normal((N_pf, 2)).astype(np.float32))
+    key_pf = jax.random.key(0)
+    t = _device_time_per_call(
+        lambda x0s, yss, k, i: jnp.sum(particle_filter_batched(
+            pendulum_step, h_pf, jnp.eye(2) * 1e-4, jnp.eye(1) * 2.5e-3,
+            x0s + i * 1e-6, jnp.eye(2), yss, us_pf, k,
+            n_particles=P_pf).log_likelihood),
+        (x0s_pf, ys_pf, key_pf), K=4, reps=max(2, reps // 3),
+    )
+    _log(
+        f"[pf]     {N_pf}-trajectory x {P_pf}-particle bootstrap PF T={T_pf} "
+        f"(pendulum): {t*1e3:.2f} ms/batch -> {N_pf/t:,.0f} filters/s "
+        f"({N_pf*P_pf*T_pf/t/1e6:.0f}M particle-steps/s)"
+    )
+
     # long-horizon: sequential scan vs associative O(log T)
     T_long = 4096
     ys_long = jnp.asarray(rng.standard_normal((T_long, 1)).astype(np.float32))

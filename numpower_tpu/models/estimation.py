@@ -141,6 +141,60 @@ def kalman_smoother(A: jax.Array, filt: KalmanResult) -> SmootherResult:
     return SmootherResult(means=xs_s, covs=Ps_s)
 
 
+def kalman_smoother_associative(A: jax.Array, filt: KalmanResult
+                                ) -> SmootherResult:
+    """Parallel-in-time RTS smoother: O(log T) depth associative scan — the
+    backward-pass companion of kalman_filter_associative (same outputs as
+    kalman_smoother to fp32 tolerance).
+
+    The RTS recursion is affine in the smoothed moments:
+        x_s[k] = G_k x_s[k+1] + e_k,   e_k = x_f[k] - G_k x_p[k+1]
+        P_s[k] = G_k P_s[k+1] G_k' + D_k,  D_k = P_f[k] - G_k P_p[k+1] G_k'
+    so each step is an element (G, e, D) under the composition
+        (G_i, e_i, D_i) o (G_j, e_j, D_j)
+          = (G_i G_j, G_i e_j + e_i, G_i D_j G_i' + D_i)
+    (i earlier than j), which is associative — one lax.associative_scan over
+    the reversed horizon replaces the sequential backward scan (Sarkka &
+    Garcia-Fernandez, "Temporal Parallelization of Bayesian Smoothers",
+    PAPERS.md)."""
+    xs_f, Ps_f = filt.means, filt.covs
+    xs_p, Ps_p = filt.pred_means, filt.pred_covs
+
+    def make_element(x_f, P_f, x_p_next, P_p_next):
+        L = jnp.linalg.cholesky(P_p_next)
+        G = jax.scipy.linalg.cho_solve((L, True), A @ P_f).T  # P_f A' P_p^-1
+        e = x_f - G @ x_p_next
+        D = P_f - G @ P_p_next @ G.T
+        return G, e, 0.5 * (D + D.T)
+
+    # elements for k = 0..T-2 (the last state is its own smoothed estimate)
+    Gs, es, Ds = jax.vmap(make_element)(xs_f[:-1], Ps_f[:-1], xs_p[1:],
+                                        Ps_p[1:])
+    # boundary element: the identity-free anchor (G=0 absorbs x_s[T-1])
+    n = xs_f.shape[1]
+    G_last = jnp.zeros((n, n), xs_f.dtype)
+    Gs = jnp.concatenate([Gs, G_last[None]], axis=0)
+    es = jnp.concatenate([es, xs_f[-1][None]], axis=0)
+    Ds = jnp.concatenate([Ds, Ps_f[-1][None]], axis=0)
+
+    def combine(earlier, later):
+        Gi, ei, Di = earlier
+        Gj, ej, Dj = later
+        G = Gi @ Gj
+        e = _mv(Gi, ej) + ei
+        D = Gi @ Dj @ Gi.swapaxes(-1, -2) + Di
+        return G, e, 0.5 * (D + D.swapaxes(-1, -2))
+
+    # reverse so the scan composes suffixes k..T-1: prefix r of the reversed
+    # sequence spans original indices T-1-r..T-1. The scan hands combine
+    # (prefix, next) = (later-in-time segment, earlier element), so the
+    # functional composition swaps the arguments.
+    rev = lambda t: jnp.flip(t, 0)
+    _, es_s, Ds_s = lax.associative_scan(
+        lambda a, b: combine(b, a), (rev(Gs), rev(es), rev(Ds)), axis=0)
+    return SmootherResult(means=rev(es_s), covs=rev(Ds_s))
+
+
 def ekf_filter(
     f: Callable,         # f(x, u) -> x_next  (pure jax plant, same API as iLQR)
     h: Callable,         # h(x) -> y          (measurement model)

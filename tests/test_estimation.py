@@ -542,3 +542,42 @@ def test_particle_filter_nonlinear_tracks_and_is_reproducible():
         n_particles=256)
     assert bres.means.shape == (2, T, 2)
     assert np.all(np.isfinite(np.asarray(bres.log_likelihood)))
+
+
+# --- parallel-in-time RTS smoother -------------------------------------------
+
+
+def test_smoother_associative_matches_sequential(lti_data):
+    """O(log T) associative smoother must reproduce the sequential RTS
+    backward scan (means and covariances) to fp32 tolerance."""
+    from numpower_tpu.models import kalman_smoother_associative
+
+    A, B, C, Q, R, xs_true, ys = lti_data
+    x0 = jnp.array([1.0, 0.0]); P0 = jnp.eye(2) * 0.1
+    filt = kalman_filter(A, C, Q, R, x0, P0, ys)
+    seq = kalman_smoother(A, filt)
+    par = kalman_smoother_associative(A, filt)
+    np.testing.assert_allclose(np.asarray(par.means), np.asarray(seq.means),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(par.covs), np.asarray(seq.covs),
+                               atol=2e-5)
+
+
+def test_smoother_associative_long_horizon_jit():
+    """T=512 stability + jit: the tree composition must stay finite and
+    match the sequential smoother at long horizons."""
+    from numpower_tpu.models import kalman_smoother_associative
+
+    A, B = double_integrator(0.1)
+    C = jnp.array([[1.0, 0.0]])
+    Q = jnp.eye(2) * 1e-3
+    R = jnp.eye(1) * 1e-2
+    rng = np.random.default_rng(9)
+    ys = jnp.asarray(rng.standard_normal((512, 1)).astype(np.float32))
+    x0 = jnp.array([0.0, 0.0]); P0 = jnp.eye(2) * 0.1
+    filt = kalman_filter(A, C, Q, R, x0, P0, ys)
+    seq = kalman_smoother(A, filt)
+    par = jax.jit(lambda f: kalman_smoother_associative(A, f))(filt)
+    assert np.all(np.isfinite(np.asarray(par.means)))
+    np.testing.assert_allclose(np.asarray(par.means), np.asarray(seq.means),
+                               atol=1e-4)
