@@ -164,10 +164,14 @@ def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
                                coarse_iters=ci).U[0, 0]
 
     per_small = _device_time_per_call(body_small, (qp, x0s), K=256, reps=reps)
-    _log(
-        f"[latency]  256-scenario batch device time ~{per_small*1e6:.1f} us "
-        f"(budget 10 ms; excludes host link RTT)"
-    )
+    if per_small <= 2e-8:
+        _log("[latency]  256-scenario batch device time below the relay "
+             "noise floor (<0.02 us measured; budget 10 ms)")
+    else:
+        _log(
+            f"[latency]  256-scenario batch device time ~{per_small*1e6:.1f} us "
+            f"(budget 10 ms; excludes host link RTT)"
+        )
     return solves_per_sec, per_batch * 1e3
 
 
