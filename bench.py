@@ -393,11 +393,11 @@ def bench_estimation(scenarios: int, reps: int):
         0.3 * rng.standard_normal((N_pf, 2)).astype(np.float32))
     key_pf = jax.random.key(0)
     t = _device_time_per_call(
-        lambda x0s, yss, k, i: jnp.sum(particle_filter_batched(
+        lambda x0s, yss, us, k, i: jnp.sum(particle_filter_batched(
             pendulum_step, h_pf, jnp.eye(2) * 1e-4, jnp.eye(1) * 2.5e-3,
-            x0s + i * 1e-6, jnp.eye(2), yss, us_pf, k,
+            x0s + i * 1e-6, jnp.eye(2), yss, us, k,
             n_particles=P_pf).log_likelihood),
-        (x0s_pf, ys_pf, key_pf), K=4, reps=max(2, reps // 3),
+        (x0s_pf, ys_pf, us_pf, key_pf), K=4, reps=max(2, reps // 3),
     )
     _log(
         f"[pf]     {N_pf}-trajectory x {P_pf}-particle bootstrap PF T={T_pf} "

@@ -76,11 +76,11 @@ def minv_factor(H: jax.Array, rho) -> jax.Array:
 
 
 def _s_loop(s, c, rminvT, lo, hi, alpha, iters: int, coarse_iters: int,
-            tail_precision: str = "bf16x3"):
+            tail_dot):
     """Shared s-form iteration body (pure arrays, VMEM-resident). rminvT is
-    (rho Minv)' and c = Minv g; returns the final pre-projection state s
-    (z = clip(s), y = s - z)."""
-    tail_dot = make_tail_dot(rminvT, tail_precision)
+    (rho Minv)' and c = Minv g; tail_dot is the caller's
+    make_tail_dot(rminvT, ...) (shared with its residual pass). Returns the
+    final pre-projection state s (z = clip(s), y = s - z)."""
     for k in range(iters):
         p = jnp.clip(s, lo, hi)
         t = 2.0 * p - s
@@ -109,7 +109,7 @@ def _admm_kernel(rminvT_ref, g_ref, params_ref, z0_ref, out_ref, y_out_ref, *,
     c = jnp.dot(g_ref[:], rminvT, precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32) * (1.0 / rho)
     s = _s_loop(z0_ref[:], c, rminvT, lo, hi, alpha, iters, coarse_iters,
-                tail_precision)
+                make_tail_dot(rminvT, tail_precision))
     z = jnp.clip(s, lo, hi)
     out_ref[:] = z
     y_out_ref[:] = s - z
@@ -221,7 +221,7 @@ def _admm_g_kernel(rminvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref, z0_ref,
     c = jnp.dot(g, rminvT, precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32) * (1.0 / rho)
     s = _s_loop(z0_ref[:], c, rminvT, lo, hi, alpha, iters, coarse_iters,
-                tail_precision)
+                make_tail_dot(rminvT, tail_precision))
     z = jnp.clip(s, lo, hi)
     out_ref[:] = z
     y_out_ref[:] = s - z
@@ -250,7 +250,7 @@ def _admm_g_res_kernel(rminvT_ref, x0_ref, sxT_ref, suqcT_ref, params_ref,
     rminvT = rminvT_ref[:]
     tail_dot = make_tail_dot(rminvT, tail_precision)
     s = _s_loop(z0_ref[:], c, rminvT, lo, hi, alpha, iters, coarse_iters,
-                tail_precision)
+                tail_dot)
     z = jnp.clip(s, lo, hi)
     out_ref[:] = z
     # exact residuals at the final (z, y = s - z): same formulas as the XLA

@@ -114,15 +114,17 @@ def solve_mpc_boxqp_admm(
     method="auto" picks the fused Pallas kernel (kernels/boxqp_admm.py:
     VMEM-resident solve matrix, on-chip s-form iteration loop) on TPU
     backends for d <= 1024, the XLA scan elsewhere. On the Pallas path
-    coarse_iters defaults to iters - 8: leading x-update GEMMs run
-    single-pass bf16 and the fp32 tail contracts the perturbation to
-    ~3e-5 (measured vs the all-fp32 kernel at the flagship; the exact-solve
-    iteration map is strongly contractive regardless of conditioning, unlike
-    first-order FISTA which needs the kappa-scaled tail — the s-form kernel
-    also rounds the box-bounded z - y operand in bf16 rather than the
-    g-magnitude rhs, roughly halving the coarse-phase perturbation). Each
-    tail iteration costs 3 MXU passes (bf16x3) vs the coarse phase's 1;
-    the tail-8 schedule measured 59.9-45.1 us/4096-batch on v5e (68-91M
+    coarse_iters defaults to the condition-aware
+    models/condensed.admm_coarse_iters schedule (fp32 tail =
+    max(8, ceil(3 sqrt(kappa))) — tail 8 on the flagship's kappa 3.6,
+    measured 3.2e-5 vs the all-fp32 kernel): leading x-update GEMMs run
+    single-pass bf16 and the exact-solve contraction (rate
+    ~(sqrt(kappa)-1)/(sqrt(kappa)+1), far stronger than first-order FISTA's
+    at the same kappa) washes the perturbation out in the tail. The s-form
+    kernel also rounds the box-bounded z - y operand in bf16 rather than
+    the g-magnitude rhs, roughly halving the coarse-phase perturbation.
+    Each tail iteration costs 3 MXU passes (bf16x3) vs the coarse phase's
+    1; the tail-8 schedule measured 59.9-45.1 us/4096-batch on v5e (68-91M
     solves/s). Pass coarse_iters=0 to force all-fp32."""
     if rho is None:
         # geometric mean of the extreme eigenvalue bounds — the classic
@@ -138,7 +140,9 @@ def solve_mpc_boxqp_admm(
         )
 
         if coarse_iters is None:
-            coarse_iters = max(0, iters - 8)
+            from numpower_tpu.models.condensed import admm_coarse_iters
+
+            coarse_iters = admm_coarse_iters(qp, iters)
         over_relax = 1.6
         Minv = minv_factor(qp.H, rho)  # shared: kernel x-updates + residuals
         tn = qp.Sx.shape[0]
@@ -151,14 +155,16 @@ def solve_mpc_boxqp_admm(
             z, r_prim, r_dual = admm_mpc_pallas_res(
                 qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(u_lo),
                 jnp.float32(u_hi), rho, iters=iters,
-                coarse_iters=coarse_iters, over_relax=over_relax, Minv=Minv)
+                coarse_iters=coarse_iters, over_relax=over_relax, Minv=Minv,
+                interpret=jax.default_backend() not in ("tpu", "axon"))
             return ADMMResult(U=z, iterations=jnp.asarray(iters),
                               primal_residual=r_prim, dual_residual=r_dual)
         g = gradient_offset(qp, x0s, x_ref)
         z, y = admm_boxqp_pallas(
             qp.H, g, jnp.float32(u_lo), jnp.float32(u_hi), rho,
             iters=iters, coarse_iters=coarse_iters,
-            over_relax=over_relax, U0=U0, Minv=Minv)
+            over_relax=over_relax, U0=U0, Minv=Minv,
+            interpret=jax.default_backend() not in ("tpu", "axon"))
         # exact residuals via one XLA x-update at the final (z, y) — same
         # over-relaxed formulas as the solve_boxqp_admm scan path
         x = (rho * (z - y) - g) @ Minv.T

@@ -169,10 +169,11 @@ def solve_mpc_boxqp(
         # no external residual GEMM pass).
         from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas_res
 
+        interpret = jax.default_backend() not in ("tpu", "axon")
         U, resid = fista_mpc_pallas_res(
             qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(u_lo),
             jnp.float32(u_hi), qp.lipschitz, iters=iters,
-            coarse_iters=coarse_iters,
+            coarse_iters=coarse_iters, interpret=interpret,
         )
         return BoxQPResult(U=U, iterations=jnp.asarray(iters), residual=resid)
     g = gradient_offset(qp, x0s, x_ref)
@@ -185,6 +186,7 @@ def solve_mpc_boxqp(
         U = fista_boxqp_pallas(
             qp.H, g2, jnp.float32(u_lo), jnp.float32(u_hi), qp.lipschitz,
             iters=iters, coarse_iters=coarse_iters, U0=U0_2,
+            interpret=jax.default_backend() not in ("tpu", "axon"),
         )
         if squeeze:
             U = U[0]

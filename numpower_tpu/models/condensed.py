@@ -162,6 +162,43 @@ def default_coarse_iters(qp: CondensedQP, iters: int) -> int:
     return max(0, iters - tail)
 
 
+def admm_coarse_iters(qp: CondensedQP, iters: int) -> int:
+    """Static bf16-coarse iteration count for mixed-precision ADMM
+    (kernels/boxqp_admm.py).
+
+    Exact-solve over-relaxed ADMM contracts at rate ~(sqrt(kappa)-1)/
+    (sqrt(kappa)+1) per iteration — much stronger than FISTA's at the same
+    kappa, but NOT condition-independent: the fp32 tail that washes out the
+    bf16 coarse-phase offset still grows as O(sqrt(kappa)). Calibration on
+    v5e (BASELINE.md tail sweep at the flagship, kappa~3.6): tail 8 leaves
+    3.2e-5 vs the all-fp32 kernel, tail 6 leaves 7.9e-5, tail 4 breaks the
+    1e-4 bound — so tail = max(8, ceil(3 sqrt(kappa))) keeps the flagship
+    at its measured-safe 8 and scales ill-conditioned QPs (kappa=37 -> 19).
+    Same static-kappa jit story as default_coarse_iters.
+    """
+    import math
+
+    if qp.kappa is not None:
+        kappa = qp.kappa
+    else:
+        try:
+            kappa = max(float(qp.lipschitz) / max(float(qp.mu), 1e-12), 1.0)
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError, TypeError):
+            import warnings
+
+            warnings.warn(
+                "admm_coarse_iters called with a traced CondensedQP that "
+                "has no static kappa: falling back to all-fp32 (no bf16 "
+                "coarse phase). Condense eagerly or pass coarse_iters= "
+                "explicitly.",
+                stacklevel=3,
+            )
+            return 0
+    tail = max(8, math.ceil(3.0 * math.sqrt(kappa)))
+    return max(0, iters - tail)
+
+
 def gradient_offset(qp: CondensedQP, x0, x_ref: Optional[jax.Array] = None):
     """g(x0) = Su' Qbar (Sx x0 - Xref); x0 (n,) or batched (N, n).
 

@@ -154,9 +154,8 @@ def kalman_smoother_associative(A: jax.Array, filt: KalmanResult
         (G_i, e_i, D_i) o (G_j, e_j, D_j)
           = (G_i G_j, G_i e_j + e_i, G_i D_j G_i' + D_i)
     (i earlier than j), which is associative — one lax.associative_scan over
-    the reversed horizon replaces the sequential backward scan (Sarkka &
-    Garcia-Fernandez, "Temporal Parallelization of Bayesian Smoothers",
-    PAPERS.md)."""
+    the reversed horizon replaces the sequential backward scan (Sarkka & Garcia-Fernandez,
+    "Temporal Parallelization of Bayesian Smoothers", IEEE TAC 2021)."""
     xs_f, Ps_f = filt.means, filt.covs
     xs_p, Ps_p = filt.pred_means, filt.pred_covs
 
@@ -255,6 +254,16 @@ def _positive_diag(L):
     return L * s[None, :]
 
 
+def _psd_sqrt(M):
+    """Square root S with M = S S' for merely-PSD M (eigh-based — Cholesky
+    NaNs out on singular inputs like a process noise that only drives some
+    states). S is not triangular, but the array algorithm's QR
+    re-triangularizes every pre-array, so ANY square root works here."""
+    M = 0.5 * (M + M.T)
+    w, V = jnp.linalg.eigh(M)
+    return V * jnp.sqrt(jnp.clip(w, 0.0, None))[None, :]
+
+
 def kalman_filter_sqrt(
     A: jax.Array,
     C: jax.Array,
@@ -293,9 +302,12 @@ def kalman_filter_sqrt(
             raise ValueError("us requires B (the input matrix)")
         u_terms = us @ B.T
 
-    Sq = jnp.linalg.cholesky(0.5 * (Q + Q.T))
-    Sr = jnp.linalg.cholesky(0.5 * (R + R.T))
-    S0 = jnp.linalg.cholesky(0.5 * (P0 + P0.T))
+    # eigh-based square roots: Q/R/P0 may be PSD-singular (e.g. process
+    # noise driving only some states) — Cholesky would emit silent NaNs.
+    # The QR pre-arrays only need M = S S', not triangularity.
+    Sq = _psd_sqrt(Q)
+    Sr = _psd_sqrt(R)
+    S0 = _psd_sqrt(P0)
     log2pi = jnp.asarray(jnp.log(2.0 * jnp.pi), dt)
 
     def step(carry, inputs):
@@ -328,8 +340,8 @@ def kalman_filter_sqrt(
 
 
 class _KFElement(NamedTuple):
-    """Parallel-filter element (Sarkka & Garcia-Fernandez, "Temporal
-    Parallelization of Bayesian Smoothers", PAPERS.md): represents
+    """Parallel-filter element (Sarkka & Garcia-Fernandez,
+    "Temporal Parallelization of Bayesian Smoothers", IEEE TAC 2021): represents
     p(x_k | y_..., x_{k-1}) ~ N(A x_{k-1} + b, C) with information terms
     (eta, J) carrying the likelihood backward."""
     A: jax.Array

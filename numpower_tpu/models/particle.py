@@ -78,8 +78,15 @@ def particle_filter(
     dt = x0.dtype
     N = int(n_particles)
 
-    L0 = jnp.linalg.cholesky(0.5 * (P0 + P0.T))
-    Lq = jnp.linalg.cholesky(0.5 * (Q + Q.T))
+    # Q/P0 only scale noise draws — any square root works, and eigh-based
+    # sqrt tolerates PSD-singular inputs (noise driving only some states).
+    # R must be strictly PD: the Gaussian observation density whitens with
+    # a triangular solve against chol(R) (a singular R makes the density
+    # itself degenerate).
+    from numpower_tpu.models.estimation import _psd_sqrt
+
+    L0 = _psd_sqrt(P0)
+    Lq = _psd_sqrt(Q)
     Lr = jnp.linalg.cholesky(0.5 * (R + R.T))
     log_norm = (-jnp.sum(jnp.log(jnp.diagonal(Lr)))
                 - 0.5 * p * jnp.log(2.0 * jnp.pi)).astype(dt)

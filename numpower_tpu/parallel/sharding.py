@@ -302,7 +302,9 @@ def solve_mpc_boxqp_admm_dp(
 
         interpret = not _mesh_is_tpu(mesh)
         if coarse_iters is None:
-            coarse_iters = max(0, iters - 12)  # models/admm.py policy
+            from numpower_tpu.models.condensed import admm_coarse_iters
+
+            coarse_iters = admm_coarse_iters(qp, iters)  # models/admm.py policy
 
         def per_device_pl(H, Minv, SxT, SuTQT, rho_s, x0s_shard):
             z, rp_local, rd_local = admm_mpc_pallas_res(
