@@ -93,6 +93,31 @@ def _s_loop(s, c, rminvT, lo, hi, alpha, iters: int, coarse_iters: int,
     return s
 
 
+def _zy_loop(z0, c, rminvT, lo, hi, alpha, iters: int, coarse_iters: int,
+             tail_dot):
+    """(z, y)-form reference iteration — the classic four-update recursion
+    the s-form collapses (module docstring). Kept ONLY for the reproducible
+    A/B benchmark (bench.py --ab-admm, VERDICT r2 weak #7): algebraically
+    identical to _s_loop, ~10 VPU ops and two live carries per iteration
+    instead of ~5 and one. Returns the equivalent pre-projection state
+    s = z + y so callers share the s-form epilogue."""
+    z = z0
+    y = jnp.zeros_like(z0)
+    for k in range(iters):
+        t = z - y
+        if k < coarse_iters:
+            u = jnp.dot(t, rminvT, precision=lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+        else:
+            u = tail_dot(t)
+        x = u - c
+        x_r = alpha * x + (1.0 - alpha) * z
+        z_new = jnp.clip(x_r + y, lo, hi)
+        y = y + x_r - z_new
+        z = z_new
+    return z + y
+
+
 def _admm_kernel(rminvT_ref, g_ref, params_ref, z0_ref, out_ref, y_out_ref, *,
                  iters: int, coarse_iters: int,
                  tail_precision: str = "bf16x3"):
@@ -201,20 +226,20 @@ def admm_boxqp_pallas(
     return z[:N, :d], y[:N, :d]
 
 
-def _admm_g_kernel(rminvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref, z0_ref,
+def _admm_g_kernel(rminvT_ref, x0_ref, w_ref, params_ref, z0_ref,
                    out_ref, y_out_ref, g_out_ref, *, iters: int,
                    coarse_iters: int, tail_precision: str = "bf16x3"):
     """ADMM with IN-KERNEL g formation (kernels/boxqp_fista._fista_g_kernel
-    pattern): g = (x0 @ Sx') @ SuTQ' on the VMEM-resident prediction
-    matrices, c = Minv g via one more GEMM, then the s-form loop. Per tile
-    the only HBM traffic is the tiny x0 read and the (z, y, g) writes."""
+    pattern): g = x0 @ W with the prediction chain W = Sx'(Su'Q)' FOLDED
+    into one (n, d) matrix by the wrapper — one 128-inner GEMM instead of
+    two HIGHEST GEMMs over the Tn~384 middle dim. c = Minv g via one more
+    GEMM, then the s-form loop. Per tile the only HBM traffic is the tiny
+    x0 read and the (z, y, g) writes."""
     rho = params_ref[0]
     lo = params_ref[1]
     hi = params_ref[2]
     alpha = params_ref[3]
-    mid = jnp.dot(x0_ref[:], sxT_ref[:], precision=lax.Precision.HIGHEST,
-                  preferred_element_type=jnp.float32)
-    g = jnp.dot(mid, suqT_ref[:], precision=lax.Precision.HIGHEST,
+    g = jnp.dot(x0_ref[:], w_ref[:], precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
     g_out_ref[:] = g
     rminvT = rminvT_ref[:]
@@ -227,30 +252,29 @@ def _admm_g_kernel(rminvT_ref, x0_ref, sxT_ref, suqT_ref, params_ref, z0_ref,
     y_out_ref[:] = s - z
 
 
-def _admm_g_res_kernel(rminvT_ref, x0_ref, sxT_ref, suqcT_ref, params_ref,
+def _admm_g_res_kernel(rminvT_ref, x0_ref, wc_ref, params_ref,
                        z0_ref, out_ref, rp_ref, rd_ref, *, iters: int,
                        coarse_iters: int, d: int, n_real: int, tile_n: int,
-                       tail_precision: str = "bf16x3"):
+                       tail_precision: str = "bf16x3", form: str = "s"):
     """_admm_g_kernel variant with BOTH residuals fused in. Here c = Minv g
-    is formed directly from the folded prediction chain
-    c = (x0 @ Sx') @ ((Su'Q)' Minv') — the Minv fold happens once on the
-    host, so g is never materialized at all. After the loop, one extra
-    VMEM-resident x-update forms the primal/dual residuals and reduces them
-    to per-tile scalars. Saves the y and g HBM writes AND the caller's
-    external residual pass (which re-read z/y/g from HBM). Padded
-    rows/columns are masked out of the maxes."""
+    comes straight from the FULLY-folded chain c = x0 @ Wc with
+    Wc = Sx' (Su'Q)' Minv' formed once on the host — g is never
+    materialized and the per-tile c formation is ONE 128-inner GEMM. After
+    the loop, one extra VMEM-resident x-update forms the primal/dual
+    residuals and reduces them to per-tile scalars. Saves the y and g HBM
+    writes AND the caller's external residual pass (which re-read z/y/g
+    from HBM). Padded rows/columns are masked out of the maxes."""
     rho = params_ref[0]
     lo = params_ref[1]
     hi = params_ref[2]
     alpha = params_ref[3]
-    mid = jnp.dot(x0_ref[:], sxT_ref[:], precision=lax.Precision.HIGHEST,
-                  preferred_element_type=jnp.float32)
-    c = jnp.dot(mid, suqcT_ref[:], precision=lax.Precision.HIGHEST,
+    c = jnp.dot(x0_ref[:], wc_ref[:], precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
     rminvT = rminvT_ref[:]
     tail_dot = make_tail_dot(rminvT, tail_precision)
-    s = _s_loop(z0_ref[:], c, rminvT, lo, hi, alpha, iters, coarse_iters,
-                tail_dot)
+    loop = _s_loop if form == "s" else _zy_loop
+    s = loop(z0_ref[:], c, rminvT, lo, hi, alpha, iters, coarse_iters,
+             tail_dot)
     z = jnp.clip(s, lo, hi)
     out_ref[:] = z
     # exact residuals at the final (z, y = s - z): same formulas as the XLA
@@ -276,7 +300,8 @@ def _admm_g_res_kernel(rminvT_ref, x0_ref, sxT_ref, suqcT_ref, params_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "coarse_iters", "tile_n", "interpret")
+    jax.jit,
+    static_argnames=("iters", "coarse_iters", "tile_n", "interpret", "form"),
 )
 def admm_mpc_pallas_res(
     H: jax.Array,        # (d, d)
@@ -292,16 +317,18 @@ def admm_mpc_pallas_res(
     tile_n: int = 1024,
     interpret: bool = False,
     Minv: Optional[jax.Array] = None,
+    U0: Optional[jax.Array] = None,
+    form: str = "s",
 ):
     """admm_mpc_pallas with residuals FUSED into the kernel: returns
     (z (N, d), r_primal scalar, r_dual scalar). Per tile the only HBM
-    traffic is the x0 read and the z write."""
+    traffic is the x0 read and the z write. U0 (N, d) warm-starts z
+    (clipped; the serving tick's shifted previous plan — models/mpc.py);
+    cold start is z0 = clip(0) as in the XLA scan path."""
     N, n = x0s.shape
     d = H.shape[0]
-    tn = SxT.shape[1]
     d_pad = _round_up(d, 128)
     n_col_pad = _round_up(n, 128)
-    tn_pad = _round_up(tn, 128)
     tile_n = min(tile_n, max(128, (1024 * 128) // d_pad))
     tile_n = min(tile_n, _round_up(N, 8))
     n_pad_batch = _round_up(N, tile_n)
@@ -311,12 +338,22 @@ def admm_mpc_pallas_res(
     if Minv is None:
         Minv = minv_factor(H, rho)
     rminvT = jnp.zeros((d_pad, d_pad), dt).at[:d, :d].set(rho * Minv.T)
-    sxT = jnp.zeros((n_col_pad, tn_pad), dt).at[:n, :tn].set(SxT)
-    # fold Minv into the second prediction GEMM: the kernel forms
-    # c = Minv g = (x0 @ Sx') @ ((Su'Q)' Minv') without materializing g
-    suqcT = jnp.zeros((tn_pad, d_pad), dt).at[:tn, :d].set(SuTQT @ Minv.T)
+    # FULLY fold the prediction chain + Minv into one (n, d) matrix:
+    # c = Minv g = x0 @ (Sx' (Su'Q)' Minv') — the kernel's c formation is
+    # then a single 128-inner GEMM (the old two-GEMM tn-wide chain cost
+    # ~35% of kernel MXU passes at the flagship) and g is never materialized.
+    Wc = jnp.dot(SxT, jnp.dot(SuTQT, Minv.T,
+                              precision=lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32),
+                 precision=lax.Precision.HIGHEST,
+                 preferred_element_type=jnp.float32)
+    wc_p = jnp.zeros((n_col_pad, d_pad), dt).at[:n, :d].set(Wc)
     x0_p = jnp.zeros((n_pad_batch, n_col_pad), dt).at[:N, :n].set(x0s)
-    z0 = jnp.clip(jnp.zeros((n_pad_batch, d_pad), dt), lo, hi)
+    if U0 is None:
+        z0 = jnp.clip(jnp.zeros((n_pad_batch, d_pad), dt), lo, hi)
+    else:
+        z0 = jnp.zeros((n_pad_batch, d_pad), dt).at[:N, :d].set(
+            jnp.clip(U0, lo, hi))
     params = jnp.stack([
         jnp.asarray(rho, jnp.float32), jnp.asarray(lo, jnp.float32),
         jnp.asarray(hi, jnp.float32), jnp.asarray(over_relax, jnp.float32),
@@ -324,6 +361,7 @@ def admm_mpc_pallas_res(
     kernel = functools.partial(
         _admm_g_res_kernel, iters=iters,
         coarse_iters=min(coarse_iters, iters), d=d, n_real=N, tile_n=tile_n,
+        form=form,
     )
     z, rp, rd = pl.pallas_call(
         kernel,
@@ -331,8 +369,7 @@ def admm_mpc_pallas_res(
         in_specs=[
             pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, n_col_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_col_pad, tn_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_col_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -352,7 +389,7 @@ def admm_mpc_pallas_res(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rminvT, x0_p, sxT, suqcT, params, z0)
+    )(rminvT, x0_p, wc_p, params, z0)
     return z[:N, :d], rp[0, 0], rd[0, 0]
 
 
@@ -374,15 +411,14 @@ def admm_mpc_pallas(
     interpret: bool = False,
     Minv: Optional[jax.Array] = None,
 ):
-    """End-to-end MPC ADMM tile solve: g formed IN KERNEL from x0.
+    """End-to-end MPC ADMM tile solve: g formed IN KERNEL from x0 via the
+    FOLDED prediction chain W = Sx'(Su'Q)' (one 128-inner GEMM).
     Returns (z, y, g) so the caller can form residuals without re-deriving
     g. Cold start z0 = clip(0, lo, hi) (matches the XLA scan path)."""
     N, n = x0s.shape
     d = H.shape[0]
-    tn = SxT.shape[1]
     d_pad = _round_up(d, 128)
     n_col_pad = _round_up(n, 128)
-    tn_pad = _round_up(tn, 128)
     tile_n = min(tile_n, max(128, (1024 * 128) // d_pad))
     tile_n = min(tile_n, _round_up(N, 8))
     n_pad_batch = _round_up(N, tile_n)
@@ -391,8 +427,9 @@ def admm_mpc_pallas(
     if Minv is None:
         Minv = minv_factor(H, rho)
     rminvT = jnp.zeros((d_pad, d_pad), dt).at[:d, :d].set(rho * Minv.T)
-    sxT = jnp.zeros((n_col_pad, tn_pad), dt).at[:n, :tn].set(SxT)
-    suqT = jnp.zeros((tn_pad, d_pad), dt).at[:tn, :d].set(SuTQT)
+    W = jnp.dot(SxT, SuTQT, precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    w_p = jnp.zeros((n_col_pad, d_pad), dt).at[:n, :d].set(W)
     x0_p = jnp.zeros((n_pad_batch, n_col_pad), dt).at[:N, :n].set(x0s)
     z0 = jnp.clip(jnp.zeros((n_pad_batch, d_pad), dt), lo, hi)
     params = jnp.stack([
@@ -408,8 +445,7 @@ def admm_mpc_pallas(
         in_specs=[
             pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, n_col_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_col_pad, tn_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_col_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -429,6 +465,6 @@ def admm_mpc_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rminvT, x0_p, sxT, suqT, params, z0)
+    )(rminvT, x0_p, w_p, params, z0)
     z, y, g = out
     return z[:N, :d], y[:N, :d], g[:N, :d]

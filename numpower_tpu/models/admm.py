@@ -145,17 +145,20 @@ def solve_mpc_boxqp_admm(
             coarse_iters = admm_coarse_iters(qp, iters)
         over_relax = 1.6
         Minv = minv_factor(qp.H, rho)  # shared: kernel x-updates + residuals
-        tn = qp.Sx.shape[0]
-        if (x_ref is None and U0 is None and x0s.ndim == 2 and tn <= 1024):
+        # the folded prediction chain (one (n, d) matrix in-kernel) removes
+        # the old T*n VMEM bound — any horizon fits when d does
+        if (x_ref is None and x0s.ndim == 2):
             # fully fused: g formed in-kernel from x0 AND both residuals
             # reduced in-kernel (kernels/boxqp_admm._admm_g_res_kernel) —
-            # per tile the only HBM traffic is the x0 read and the z write.
+            # per tile the only HBM traffic is the x0 (and optional warm
+            # start) read and the z write.
             from numpower_tpu.kernels.boxqp_admm import admm_mpc_pallas_res
 
             z, r_prim, r_dual = admm_mpc_pallas_res(
                 qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(u_lo),
                 jnp.float32(u_hi), rho, iters=iters,
                 coarse_iters=coarse_iters, over_relax=over_relax, Minv=Minv,
+                U0=U0,
                 interpret=jax.default_backend() not in ("tpu", "axon"))
             return ADMMResult(U=z, iterations=jnp.asarray(iters),
                               primal_residual=r_prim, dual_residual=r_dual)

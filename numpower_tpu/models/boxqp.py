@@ -136,8 +136,9 @@ def solve_mpc_boxqp(
     previous solution) cut iteration counts in receding-horizon use.
 
     method="auto" picks Pallas FISTA on TPU backends and XLA FISTA
-    elsewhere. Two Pallas variants: cold starts without x_ref use the fully
-    fused kernel (g formed in-kernel from x0); warm starts / x_ref use the
+    elsewhere. Two Pallas variants: batched solves without x_ref (cold OR
+    warm-started) use the fully fused kernel (g formed in-kernel from x0
+    via the folded prediction chain); x_ref / single-vector solves use the
     two-step kernel (g materialized, U0 passed through). Measured on v5e:
     Pallas 62 us / XLA 160 us per 4096-scenario horizon-30 quadrotor batch.
 
@@ -158,22 +159,22 @@ def solve_mpc_boxqp(
         # buffers on-chip; beyond d~1024 fall back to the XLA scan.
         d = qp.H.shape[0]
         method = "pallas" if (on_tpu and d <= 1024) else "fista"
-    # fully fused path needs the prediction matrices in VMEM too: bound both
-    # the control dim d and the stacked-state dim T*n.
-    tn = qp.Sx.shape[0]
-    if (method == "pallas" and x_ref is None and U0 is None and x0s.ndim == 2
-            and tn <= 1024):
+    # Fully fused path: the prediction chain is folded to one (n, d) matrix
+    # inside the kernel wrapper (kernels/boxqp_fista), so the VMEM envelope
+    # depends only on d — any horizon qualifies. Warm starts (U0) thread
+    # straight into the kernel.
+    if method == "pallas" and x_ref is None and x0s.ndim == 2:
         # fully fused: g formed in-kernel from x0 AND the projected-gradient
         # residual reduced in-kernel to per-tile scalars — per tile the only
-        # HBM traffic is the x0 read and the U write (no g materialization,
-        # no external residual GEMM pass).
+        # HBM traffic is the x0 (+ optional warm start) read and the U write
+        # (no g materialization, no external residual GEMM pass).
         from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas_res
 
         interpret = jax.default_backend() not in ("tpu", "axon")
         U, resid = fista_mpc_pallas_res(
             qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(u_lo),
             jnp.float32(u_hi), qp.lipschitz, iters=iters,
-            coarse_iters=coarse_iters, interpret=interpret,
+            coarse_iters=coarse_iters, interpret=interpret, U0=U0,
         )
         return BoxQPResult(U=U, iterations=jnp.asarray(iters), residual=resid)
     g = gradient_offset(qp, x0s, x_ref)

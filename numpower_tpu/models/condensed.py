@@ -123,6 +123,32 @@ def condense(A, B, Q, R, QF, horizon: int) -> CondensedQP:
                        lipschitz=lmax, mu=mu, kappa=kappa)
 
 
+def _resolve_kappa(qp: CondensedQP, caller: str):
+    """Condition-number bound for the mixed-precision schedules, or None.
+
+    qp.kappa is STATIC aux data snapshotted at condense() time, so this
+    works under jit with no device readback. Only when condense() itself
+    was traced (kappa=None) does it fall back to reading lipschitz/mu, and
+    if those are tracers too it returns None with a one-time warning — the
+    caller must then use an all-fp32 schedule."""
+    if qp.kappa is not None:
+        return qp.kappa
+    try:
+        return max(float(qp.lipschitz) / max(float(qp.mu), 1e-12), 1.0)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError, TypeError):
+        import warnings
+
+        warnings.warn(
+            f"{caller} called with a traced CondensedQP that has no static "
+            "kappa: falling back to all-fp32 (no bf16 coarse phase, ~6x "
+            "slower hot GEMMs). Condense eagerly or pass coarse_iters= "
+            "explicitly.",
+            stacklevel=4,
+        )
+        return None
+
+
 def default_coarse_iters(qp: CondensedQP, iters: int) -> int:
     """Static bf16-coarse iteration count for mixed-precision FISTA.
 
@@ -133,31 +159,14 @@ def default_coarse_iters(qp: CondensedQP, iters: int) -> int:
     gives ~1e-5 error at kappa=37 and reduces to the long-validated 12-13
     iteration tail on the well-conditioned flagship QP (kappa~3.6).
 
-    Jit-safe: qp.kappa is STATIC aux data snapshotted at condense() time, so
-    this works under jit with no device readback — traced callers keep the
-    ~6x bf16 coarse phase automatically. Only when condense() itself was
-    traced (kappa=None) does it fall back to reading lipschitz/mu, and if
-    those are tracers too, to an all-fp32 schedule with a one-time warning.
+    Jit-safe via the static qp.kappa (_resolve_kappa); traced callers keep
+    the ~6x bf16 coarse phase automatically.
     """
     import math
 
-    if qp.kappa is not None:
-        kappa = qp.kappa
-    else:
-        try:
-            kappa = max(float(qp.lipschitz) / max(float(qp.mu), 1e-12), 1.0)
-        except (jax.errors.TracerArrayConversionError,
-                jax.errors.ConcretizationTypeError, TypeError):
-            import warnings
-
-            warnings.warn(
-                "default_coarse_iters called with a traced CondensedQP that "
-                "has no static kappa: falling back to all-fp32 (no bf16 "
-                "coarse phase, ~6x slower hot GEMMs). Condense eagerly or "
-                "pass coarse_iters= explicitly.",
-                stacklevel=3,
-            )
-            return 0
+    kappa = _resolve_kappa(qp, "default_coarse_iters")
+    if kappa is None:
+        return 0
     tail = max(12, math.ceil(6.5 * math.sqrt(kappa)))
     return max(0, iters - tail)
 
@@ -174,27 +183,13 @@ def admm_coarse_iters(qp: CondensedQP, iters: int) -> int:
     3.2e-5 vs the all-fp32 kernel, tail 6 leaves 7.9e-5, tail 4 breaks the
     1e-4 bound — so tail = max(8, ceil(3 sqrt(kappa))) keeps the flagship
     at its measured-safe 8 and scales ill-conditioned QPs (kappa=37 -> 19).
-    Same static-kappa jit story as default_coarse_iters.
+    Same static-kappa jit story as default_coarse_iters (_resolve_kappa).
     """
     import math
 
-    if qp.kappa is not None:
-        kappa = qp.kappa
-    else:
-        try:
-            kappa = max(float(qp.lipschitz) / max(float(qp.mu), 1e-12), 1.0)
-        except (jax.errors.TracerArrayConversionError,
-                jax.errors.ConcretizationTypeError, TypeError):
-            import warnings
-
-            warnings.warn(
-                "admm_coarse_iters called with a traced CondensedQP that "
-                "has no static kappa: falling back to all-fp32 (no bf16 "
-                "coarse phase). Condense eagerly or pass coarse_iters= "
-                "explicitly.",
-                stacklevel=3,
-            )
-            return 0
+    kappa = _resolve_kappa(qp, "admm_coarse_iters")
+    if kappa is None:
+        return 0
     tail = max(8, math.ceil(3.0 * math.sqrt(kappa)))
     return max(0, iters - tail)
 

@@ -290,6 +290,15 @@ def kalman_filter_sqrt(
     Update:   qr([[S_p'C', S_p'], [Sr', 0]]) -> post-array
               [[S_y, 0], [Kbar, S_f]] with K = Kbar S_y^{-1} — the
               Kaminski/Grewal condensed array algorithm.
+
+    R must make the innovation covariance C P_p C' + R positive DEFINITE
+    (R itself PD is sufficient): a zero diagonal in the innovation factor
+    S_y makes the log-likelihood -inf/NaN and the gain solve singular —
+    the same failure mode as the covariance-form kalman_filter (this is
+    parity, not extra robustness; the sqrt form's robustness is in the
+    covariance PROPAGATION, which stays PSD by construction). Model
+    degenerate sensors by adding a small diagonal floor to R, as
+    models/particle.py requires for its measurement noise.
     """
     T = ys.shape[0]
     n = x0.shape[0]

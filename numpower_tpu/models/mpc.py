@@ -37,14 +37,24 @@ class MPCController:
 
     def __init__(self, A, B, Q, R, QF, horizon: int, u_lo: float, u_hi: float,
                  iters: int = 30, coarse_iters: Optional[int] = None,
-                 x_ref=None, mesh=None):
+                 x_ref=None, mesh=None, solver: str = "fista"):
         """mesh: optional jax.sharding.Mesh for MULTI-CHIP serving — the tick
         solve runs the sharded DP solver (fused Pallas kernel per device,
         warm starts sharded with the scenarios over the first mesh axis).
         x_ref is not supported with a mesh (the sharded path is the
-        regulation solve)."""
+        regulation solve).
+
+        solver: "fista" (default) or "admm" — the ADMM family is the faster
+        solver at the flagship config (BASELINE.md) and warm-starts its z
+        iterate from the shifted previous plan; available in both single-chip
+        and mesh serving (VERDICT r2 weak #6). x_ref is FISTA-only."""
         if mesh is not None and x_ref is not None:
             raise ValueError("mesh serving does not support x_ref")
+        if solver not in ("fista", "admm"):
+            raise ValueError(f"unknown solver {solver!r} (fista|admm)")
+        if solver == "admm" and x_ref is not None:
+            raise ValueError("solver='admm' does not support x_ref")
+        self.solver = solver
         self.mesh = mesh
         self.qp: CondensedQP = jax.jit(condense, static_argnums=5)(
             A, B, Q, R, QF, horizon
@@ -53,10 +63,13 @@ class MPCController:
         self.iters = int(iters)
         if coarse_iters is None:
             # qp is concrete here (condensed eagerly above), so the
-            # condition-aware schedule applies (condensed.default_coarse_iters)
-            from numpower_tpu.models.condensed import default_coarse_iters
+            # condition-aware schedules apply (models/condensed.py)
+            from numpower_tpu.models.condensed import (
+                admm_coarse_iters, default_coarse_iters,
+            )
 
-            self.coarse_iters = default_coarse_iters(self.qp, self.iters)
+            sched = admm_coarse_iters if solver == "admm" else default_coarse_iters
+            self.coarse_iters = sched(self.qp, self.iters)
         else:
             self.coarse_iters = int(coarse_iters)
         self.x_ref = x_ref
@@ -95,11 +108,30 @@ class MPCController:
             [state.U_prev[:, m:], state.U_prev[:, -m:]], axis=1
         )
         if self.mesh is not None:
-            from numpower_tpu.parallel.sharding import solve_mpc_boxqp_dp
+            if self.solver == "admm":
+                from numpower_tpu.parallel.sharding import (
+                    solve_mpc_boxqp_admm_dp,
+                )
 
-            res = solve_mpc_boxqp_dp(
-                qp, x0s, self.u_lo, self.u_hi, self.mesh, iters=self.iters,
-                coarse_iters=self.coarse_iters, U0=U_shift,
+                res = solve_mpc_boxqp_admm_dp(
+                    qp, x0s, self.u_lo, self.u_hi, self.mesh,
+                    iters=self.iters, coarse_iters=self.coarse_iters,
+                    U0=U_shift,
+                )
+            else:
+                from numpower_tpu.parallel.sharding import solve_mpc_boxqp_dp
+
+                res = solve_mpc_boxqp_dp(
+                    qp, x0s, self.u_lo, self.u_hi, self.mesh,
+                    iters=self.iters, coarse_iters=self.coarse_iters,
+                    U0=U_shift,
+                )
+        elif self.solver == "admm":
+            from numpower_tpu.models.admm import solve_mpc_boxqp_admm
+
+            res = solve_mpc_boxqp_admm(
+                qp, x0s, self.u_lo, self.u_hi, iters=self.iters,
+                U0=U_shift, coarse_iters=self.coarse_iters,
             )
         else:
             res = solve_mpc_boxqp(
@@ -107,7 +139,9 @@ class MPCController:
                 iters=self.iters, U0=U_shift, coarse_iters=self.coarse_iters,
             )
         u0 = res.U[:, :m]
-        return u0, MPCState(U_prev=res.U, tick=state.tick + 1), res.residual
+        resid = (res.primal_residual if self.solver == "admm"
+                 else res.residual)
+        return u0, MPCState(U_prev=res.U, tick=state.tick + 1), resid
 
     def step(self, state: MPCState, x0s: jax.Array):
         """One tick: returns ((N, m) first-stage controls, new state).
@@ -122,7 +156,7 @@ class MPCController:
         In steady state this must stay 1 (one batch shape): any growth means
         the serving path is RETRACING — shape/dtype churn or accidental
         python-object identity leaks — and blowing the latency budget.
-        Asserted by tests/test_mpc.py::test_controller_no_retrace."""
+        Asserted by tests/test_controller_utils.py::test_controller_no_retrace."""
         return self._step._cache_size()
 
     def step_with_residual(self, state: MPCState, x0s: jax.Array):

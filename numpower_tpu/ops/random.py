@@ -38,7 +38,12 @@ class _GlobalStream:
 
     def __init__(self):
         self._lock = threading.Lock()
-        self._key = jax.random.PRNGKey(time.time_ns() % (2**31))
+        # Lazily created on first draw: PRNGKey materializes a device array,
+        # which would initialize the XLA backend at package-IMPORT time —
+        # breaking jax.distributed.initialize (which must run before any
+        # backend use; parallel/distributed.py) and touching the TPU relay
+        # just to import the library.
+        self._key: Optional[jax.Array] = None
 
     def seed(self, s: int) -> None:
         with self._lock:
@@ -46,6 +51,8 @@ class _GlobalStream:
 
     def next_key(self) -> jax.Array:
         with self._lock:
+            if self._key is None:
+                self._key = jax.random.PRNGKey(time.time_ns() % (2**31))
             self._key, sub = jax.random.split(self._key)
             return sub
 

@@ -21,17 +21,29 @@ def initialize(
     process_id: Optional[int] = None,
 ) -> None:
     """Initialize the multi-host runtime (idempotent, env-var driven when
-    args are None — standard JAX cluster auto-detection on TPU pods)."""
-    if jax.process_count() > 1:
+    args are None — standard JAX cluster auto-detection on TPU pods).
+
+    Must run before any backend use: probing the backend first (even
+    jax.process_count()) initializes a single-process runtime and the
+    subsequent distributed init fails — use jax.distributed.is_initialized()
+    for the idempotency check, never a device/process query. Executed for
+    real by scripts/distributed_loopback.py (2-process CPU cluster)."""
+    if jax.distributed.is_initialized():
         return  # already initialized
-    try:
+    if coordinator_address is not None:
+        # Explicit cluster spec: let failures PROPAGATE — a silently
+        # single-process "cluster" is the worst failure mode (every process
+        # solves the full problem and collectives never cross hosts).
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return
+    try:
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
-        # Single-process environment (no coordinator): run locally.
+        # No cluster auto-detected (plain single-process env): run locally.
         pass
 
 

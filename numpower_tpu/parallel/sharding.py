@@ -40,14 +40,14 @@ def _mesh_is_tpu(mesh: Mesh) -> bool:
 
 def _pick_method(qp: CondensedQP, mesh: Mesh, method: str) -> str:
     """Same envelope rule as models.boxqp.solve_mpc_boxqp method="auto":
-    the fused kernel holds H + prediction matrices in VMEM, so it applies
-    for d, T*n <= 1024. On CPU meshes the kernel path still runs (interpret
-    mode) so the virtual-mesh tests exercise the exact multi-chip program,
-    but "auto" picks the XLA scan there for speed."""
+    the fused kernel holds H + the FOLDED (n, d) prediction chain in VMEM,
+    so it applies for d <= 1024 at any horizon. On CPU meshes the kernel
+    path still runs (interpret mode) so the virtual-mesh tests exercise the
+    exact multi-chip program, but "auto" picks the XLA scan there for
+    speed."""
     if method != "auto":
         return method
-    d, tn = qp.H.shape[0], qp.Sx.shape[0]
-    return "pallas" if (_mesh_is_tpu(mesh) and d <= 1024 and tn <= 1024) else "xla"
+    return "pallas" if (_mesh_is_tpu(mesh) and qp.H.shape[0] <= 1024) else "xla"
 
 
 def solve_mpc_boxqp_dp(
@@ -274,6 +274,7 @@ def solve_mpc_boxqp_admm_dp(
     iters: int = 40,
     method: str = "auto",
     coarse_iters=None,
+    U0=None,
 ):
     """Data-parallel ADMM box-QP: scenarios over the `data` axis.
 
@@ -285,7 +286,9 @@ def solve_mpc_boxqp_admm_dp(
 
     method="pallas" ("auto" on TPU meshes) runs the fused ADMM kernel
     (kernels/boxqp_admm, Minv VMEM-resident, g formed in-kernel) per device
-    so multi-chip keeps the single-chip kernel throughput.
+    so multi-chip keeps the single-chip kernel throughput. U0 (N, d)
+    warm-starts z (clipped), sharded with the scenarios — the mesh-serving
+    tick path (models/mpc.MPCController(solver="admm", mesh=...)).
     """
     from numpower_tpu.kernels.boxqp_admm import minv_factor
     from numpower_tpu.models.admm import ADMMResult
@@ -306,32 +309,34 @@ def solve_mpc_boxqp_admm_dp(
 
             coarse_iters = admm_coarse_iters(qp, iters)  # models/admm.py policy
 
-        def per_device_pl(H, Minv, SxT, SuTQT, rho_s, x0s_shard):
+        def per_device_pl(H, Minv, SxT, SuTQT, rho_s, x0s_shard, u0_shard):
             z, rp_local, rd_local = admm_mpc_pallas_res(
                 H, SxT, SuTQT, x0s_shard, jnp.float32(u_lo),
                 jnp.float32(u_hi), rho_s, iters=iters,
                 coarse_iters=coarse_iters, over_relax=over_relax,
-                interpret=interpret, Minv=Minv,
+                interpret=interpret, Minv=Minv, U0=u0_shard,
             )
             rp = jax.lax.pmax(rp_local, axis_name=data_ax)
             rd = jax.lax.pmax(rd_local, axis_name=data_ax)
             return z, rp, rd
 
+        if U0 is None:
+            U0 = jnp.zeros((x0s.shape[0], qp.H.shape[0]), x0s.dtype)
         mapped = shard_map(
             per_device_pl,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(data_ax)),
+            in_specs=(P(), P(), P(), P(), P(), P(data_ax), P(data_ax)),
             out_specs=(P(data_ax), P(), P()),
             check_vma=False,  # pallas out_shape carries no vma annotation
         )
         z, rp, rd = jax.jit(mapped)(qp.H, Minv, qp.Sx.T, qp.SuTQ.T,
-                                    jnp.asarray(rho, jnp.float32), x0s)
+                                    jnp.asarray(rho, jnp.float32), x0s, U0)
         return ADMMResult(U=z, iterations=jnp.asarray(iters),
                           primal_residual=rp, dual_residual=rd)
 
-    def per_device(Minv, SuTQ, Sx, rho_s, x0s_shard):
+    def per_device(Minv, SuTQ, Sx, rho_s, x0s_shard, u0_shard):
         g = (SuTQ @ (Sx @ x0s_shard.T)).T          # (n_local, d)
-        z = jnp.clip(jnp.zeros_like(g), u_lo, u_hi)
+        z = jnp.clip(u0_shard, u_lo, u_hi)
         y = jnp.zeros_like(g)
 
         def body(carry, _):
@@ -352,14 +357,16 @@ def solve_mpc_boxqp_admm_dp(
                           axis_name=data_ax)
         return z, rp, rd
 
+    if U0 is None:
+        U0 = jnp.zeros((x0s.shape[0], qp.H.shape[0]), x0s.dtype)
     mapped = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(data_ax)),
+        in_specs=(P(), P(), P(), P(), P(data_ax), P(data_ax)),
         out_specs=(P(data_ax), P(), P()),
     )
     z, rp, rd = jax.jit(mapped)(Minv, qp.SuTQ, qp.Sx,
-                                jnp.asarray(rho, jnp.float32), x0s)
+                                jnp.asarray(rho, jnp.float32), x0s, U0)
     return ADMMResult(U=z, iterations=jnp.asarray(iters),
                       primal_residual=rp, dual_residual=rd)
 

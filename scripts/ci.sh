@@ -25,4 +25,7 @@ assert d["metric"] and d["value"] > 0 and d["unit"], d
 print("bench smoke OK")
 EOF
 
+echo "== job 3: verification pass (CPU interpret mode; on TPU run 'python bench.py --verify') =="
+python bench.py --quick --verify 2>&1 | tail -2
+
 echo "CI gate passed."
