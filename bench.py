@@ -135,9 +135,13 @@ def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
         return solve_mpc_boxqp(qp, x0s + i * 1e-6, -1.0, 1.0, iters=iters,
                                coarse_iters=ci).U[0, 0]
 
+    # K=512 at the 4096-scenario shape: ~26 ms of device work per rep —
+    # comfortably above the relay's ±few-ms RTT jitter. K=64 measured a
+    # 28 us IQR on a 50 us quantity (BENCH_r02-era noise); K=512 gets the
+    # IQR down to ~6 us.
+    K_flag = 32 if scenarios <= 512 else 512
     per_batch, iqr_f = _device_time_per_call(
-        body, (qp, x0s), K=32 if scenarios <= 512 else 64, reps=reps,
-        return_stats=True)
+        body, (qp, x0s), K=K_flag, reps=reps, return_stats=True)
     solves_per_sec = scenarios / per_batch
     _log(
         f"[flagship] quadrotor h={horizon} N={scenarios} iters={iters} (FISTA): "
@@ -166,8 +170,7 @@ def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
                                     iters=iters, coarse_iters=ai).U[0, 0]
 
     per_admm, iqr_a = _device_time_per_call(
-        body_admm, (qp, x0s), K=32 if scenarios <= 512 else 64, reps=reps,
-        return_stats=True)
+        body_admm, (qp, x0s), K=K_flag, reps=reps, return_stats=True)
     admm_per_sec = scenarios / per_admm
     _log(
         f"[flagship] quadrotor h={horizon} N={scenarios} iters={iters} (ADMM):  "
@@ -544,8 +547,9 @@ def bench_ab_admm(scenarios: int, horizon: int, iters: int, reps: int):
             return z[0, 0]
         return body
 
+    K_ab = 32 if scenarios <= 512 else 512
     def t_once(form):
-        return _device_time_per_call(make_body(form), (qp, x0s, rho), K=64,
+        return _device_time_per_call(make_body(form), (qp, x0s, rho), K=K_ab,
                                      reps=reps)
 
     pairs = [(t_once("s"), t_once("zy")) for _ in range(3)]
@@ -554,7 +558,7 @@ def bench_ab_admm(scenarios: int, horizon: int, iters: int, reps: int):
     _log(
         f"[ab-admm] s-form {t_s*1e6:.1f} us vs (z,y)-form {t_zy*1e6:.1f} us "
         f"per {scenarios}-batch -> {t_zy/t_s:.2f}x "
-        f"(median of 3 interleaved pairs, K=64, schedule {ai} bf16 + "
+        f"(median of 3 interleaved pairs, K={K_ab}, schedule {ai} bf16 + "
         f"{iters-ai} fp32)"
     )
     for form in ("s", "zy"):
@@ -964,8 +968,10 @@ def run_verify(scenarios: int, horizon: int) -> bool:
     check("small_matrix_kernels", v_small_matrix_kernels)
     check("ilqr_backward", v_ilqr_backward)
     check("sharded_solvers_on_mesh", v_sharded)
-    check("jit_eig", v_jit_eig)
     check("serving_no_retrace_donation", v_serving)
+    # last: a relay PJRT without host callbacks could stall rather than
+    # raise on the traced path — keep every other verdict printed first
+    check("jit_eig", v_jit_eig)
 
     n_pass = sum(ok for _, ok in results)
     _log(f"[verify] {n_pass}/{len(results)} checks passed ({mode})")
