@@ -330,7 +330,7 @@ def bench_solvers_extra(scenarios: int, horizon: int, iters: int, reps: int):
         lambda qp, xs, i: solve_mpc_boxqp_admm(
             qp, xs + i * 1e-6, -1.0, 1.0, iters=iters, coarse_iters=ai
         ).U[0, 0],
-        (qp, x0s), K=32, reps=reps,
+        (qp, x0s), K=32 if scenarios <= 512 else 512, reps=reps,
     )
     _log(
         f"[admm]  quadrotor h={horizon} N={scenarios} iters={iters}: "
@@ -624,7 +624,9 @@ def bench_serving(scenarios: int, horizon: int, reps: int):
     import jax as _jax
     from jax import lax
 
-    K = 32
+    # 256 ticks/window: ~7-12 ms of device work per rep, clear of the
+    # relay's RTT jitter (K=32 measured IQR > median)
+    K = 32 if scenarios <= 512 else 256
 
     @_jax.jit
     def rep(state, x):
@@ -680,11 +682,12 @@ def bench_shardmap_overhead(scenarios: int, horizon: int, iters: int, reps: int)
         0.3 * np.random.default_rng(0).standard_normal((scenarios, 12)), jnp.float32
     )
 
-    # Relay noise at these absolute times (~70 us/call) swamps K=32 single
-    # measurements (observed ±50 us run-to-run) — use a large K and
-    # alternate the two paths so drift hits both equally.
+    # Relay noise at these absolute times (~50 us/call) swamps small-K
+    # measurements (K=128 still produced a below-speed-of-light "direct"
+    # reading) — use a large K and alternate the two paths so drift hits
+    # both equally.
     interp = jax.default_backend() not in ("tpu", "axon")
-    K = 128
+    K = 512
 
     def t_direct_once():
         return _device_time_per_call(
@@ -877,23 +880,42 @@ def run_verify(scenarios: int, horizon: int) -> bool:
         return f"cholesky {d1:.1e}, psd_solve {d2:.1e}, riccati {d3:.1e}"
 
     def v_ilqr_backward():
-        from numpower_tpu.models import cartpole_step, ilqr_solve_batched
+        # Compare ONE backward pass's gains (deterministic, fp32-tight) —
+        # NOT end-to-end solve costs: 6 line-searched iterations on the
+        # unstable cartpole amplify fp-level gain differences chaotically
+        # (first on-TPU run of this check measured a 0.74 relative cost
+        # deviation while the gains agreed to ~1e-6 relative).
+        from numpower_tpu.kernels.ilqr_backward import ilqr_backward_fused
+        from numpower_tpu.models import (
+            cartpole_step, linearize_trajectory, rollout_nonlinear,
+        )
+        from numpower_tpu.models.ilqr import _backward_pass
 
-        Qc = jnp.diag(jnp.array([1.0, 10.0, 0.1, 0.1]))
+        Nb, Tb = 4, 10
+        Qc = jnp.eye(4)
         Rc = jnp.eye(1) * 0.01
-        QFc = jnp.diag(jnp.array([10.0, 100.0, 1.0, 1.0]))
-        x0b = jnp.asarray(0.2 * rng.standard_normal((32, 4)), jnp.float32)
-        backend = "vmap" if interp else "fused"
-        res_f = ilqr_solve_batched(cartpole_step, x0b, Qc, Rc, QFc,
-                                   jnp.zeros(4), horizon=30, iters=6,
-                                   use_fd=True, backend=backend)
-        res_v = ilqr_solve_batched(cartpole_step, x0b, Qc, Rc, QFc,
-                                   jnp.zeros(4), horizon=30, iters=6,
-                                   use_fd=True, backend="vmap")
-        d = float(jnp.max(jnp.abs(res_f.cost - res_v.cost)
-                          / (1.0 + jnp.abs(res_v.cost))))
-        assert d < 1e-2, f"fused-vs-vmap iLQR cost: {d:.2e}"
-        return f"{backend} backward rel-cost-dev {d:.1e}"
+        QFc = jnp.eye(4) * 10.0
+        xg = jnp.zeros(4)
+        x0b = jnp.asarray(0.3 * rng.standard_normal((Nb, 4)), jnp.float32)
+        usb = jnp.asarray(0.1 * rng.standard_normal((Nb, Tb, 1)), jnp.float32)
+        xsb = jax.vmap(
+            lambda x0, u: rollout_nonlinear(cartpole_step, x0, u))(x0b, usb)
+        As, Bs = jax.vmap(
+            lambda x, u: linearize_trajectory(cartpole_step, x, u))(xsb, usb)
+        ks_ref, Ks_ref = jax.vmap(
+            lambda A, B, x, u: _backward_pass(A, B, x, u, Qc, Rc, QFc, xg,
+                                              1e-3))(As, Bs, xsb, usb)
+        lxs = 2.0 * (xsb[:, :Tb] - xg) @ Qc.T
+        lus = 2.0 * usb @ Rc.T
+        lxT = 2.0 * (xsb[:, Tb] - xg) @ QFc.T
+        ks_f, Ks_f = ilqr_backward_fused(As, Bs, lxs, lus, 2 * Qc, 2 * Rc,
+                                         lxT, 2 * QFc, reg=1e-3,
+                                         interpret=interp)
+        scale = float(jnp.max(jnp.abs(ks_ref))) + 1.0
+        d1 = float(jnp.max(jnp.abs(ks_f - ks_ref))) / scale
+        d2 = float(jnp.max(jnp.abs(Ks_f - Ks_ref))) / scale
+        assert d1 < 1e-4 and d2 < 1e-4, f"gain rel-dev k {d1:.2e} K {d2:.2e}"
+        return f"fused backward gains rel-dev k {d1:.1e}, K {d2:.1e}"
 
     def v_sharded():
         from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas_res

@@ -160,6 +160,18 @@ def eig_complex(a) -> Tuple[jax.Array, jax.Array]:
         # even on accelerator runtimes without complex support.
         cpu = jax.local_devices(backend="cpu")[0]
         return jax.device_put(w, cpu), jax.device_put(v, cpu)
+    if jax.default_backend() == "axon":
+        # Guard (verified on the real relay, bench.py --verify): the axon
+        # remote-relay PJRT has no host send/recv, so the traced callback
+        # would fail deep in the runtime with an opaque JaxRuntimeError.
+        # Fail at trace time with the actionable message instead.
+        raise NotImplementedError(
+            "jit(eig)/jit(eig_complex) needs a callback-capable PJRT; the "
+            "axon remote-relay TPU backend has no host callbacks. Call eig "
+            "eagerly (outside jit) — the eager path runs LAPACK on the "
+            "host and works on every backend — or jit on cpu/standard-TPU "
+            "runtimes."
+        )
     out_spec = (
         jax.ShapeDtypeStruct(a.shape[:-1], jnp.complex64),
         jax.ShapeDtypeStruct(a.shape, jnp.complex64),
