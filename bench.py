@@ -216,14 +216,14 @@ def bench_lqr(horizon: int, reps: int):
     x0 = jnp.array([1.0, 0.0])
     t1 = _device_time_per_call(
         lambda x0, i: lqr_solve(A, B, Q, R, QF, x0 + i * 1e-6, horizon)[0][0, 0],
-        (x0,), K=64, reps=reps,
+        (x0,), K=256, reps=reps,
     )
     _log(f"[config1] double-integrator LQR h={horizon}: {t1*1e6:.1f} us/solve device")
 
     x0s = jnp.asarray(np.random.default_rng(1).standard_normal((256, 2)), jnp.float32)
     t2 = _device_time_per_call(
         lambda xs, i: lqr_solve_batched(A, B, Q, R, QF, xs + i * 1e-6, horizon)[0][0, 0, 0],
-        (x0s,), K=64, reps=reps,
+        (x0s,), K=256, reps=reps,
     )
     _log(
         f"[config2] 256-scenario LTI Riccati h={horizon}: "
@@ -657,6 +657,44 @@ def bench_serving(scenarios: int, horizon: int, reps: int):
         f"(20 iters): {per_tick*1e6:.1f} us/tick median "
         f"(IQR {(q75-q25)*1e6:.1f} us) -> {scenarios/per_tick:,.0f} "
         f"control updates/s"
+    )
+
+    # ADMM serving tick (the faster solver family; warm-started z iterate)
+    ctrl_a = MPCController(
+        A, B, np.eye(12, dtype=np.float32), np.eye(4, dtype=np.float32) * 0.1,
+        np.eye(12, dtype=np.float32) * 5.0, horizon=horizon,
+        u_lo=-1.0, u_hi=1.0, iters=20, solver="admm",
+    )
+    state0_a = ctrl_a.init(scenarios)
+
+    def tick_a(carry, i):
+        state, x = carry
+        u0, state, _ = ctrl_a._step_impl(ctrl_a.qp, state, x + i * 1e-7)
+        x_next = x @ A_j.T + u0 @ B_j.T
+        return (state, x_next), None
+
+    @_jax.jit
+    def rep_a(state, x):
+        (state, x), _ = lax.scan(tick_a, (state, x),
+                                 jnp.arange(K, dtype=jnp.float32))
+        return x[0, 0]
+
+    def run_times_a(r):
+        float(jax.device_get(r(state0_a, x0)))
+        ts = []
+        for _ in range(max(5, reps)):
+            t = time.perf_counter()
+            float(jax.device_get(r(state0_a, x0)))
+            ts.append(time.perf_counter() - t)
+        return np.asarray(ts)
+
+    per_a = np.maximum((run_times_a(rep_a) - baseline) / K, 1e-9)
+    med_a = float(np.median(per_a))
+    q25a, q75a = np.percentile(per_a, [25, 75])
+    _log(
+        f"[serving] {scenarios}-scenario ADMM warm-started tick (20 iters): "
+        f"{med_a*1e6:.1f} us/tick median (IQR {(q75a-q25a)*1e6:.1f} us) -> "
+        f"{scenarios/med_a:,.0f} control updates/s"
     )
 
 

@@ -44,15 +44,25 @@ class ParticleFilterResult(NamedTuple):
 def _systematic_resample(key, parts, logw):
     """Systematic resampling: one uniform offset, N evenly spaced positions
     through the CDF — lower conditional variance than multinomial and fully
-    static-shaped (cumsum + searchsorted + gather)."""
+    static-shaped.
+
+    Index construction is scatter-add + cumsum, NOT searchsorted: because
+    the positions (i + u0)/N are evenly spaced, particle j's slot range is
+    [m_{j-1}, m_j) with m_j = clip(floor(N cum_j - u0) + 1, 0, N), so
+    scattering 1 at each range start and prefix-summing yields exactly the
+    searchsorted(cum, positions) indices (validated element-exact). jax's
+    searchsorted lowers to a sequential log2(N)-step binary-search scan of
+    dynamic gathers — measured ~80% of the whole batched filter's runtime;
+    the scatter form is O(N) parallel work (round-3 PF bench fix)."""
     N = parts.shape[0]
     w = jnp.exp(logw - jax.scipy.special.logsumexp(logw))
     u0 = jax.random.uniform(key, (), w.dtype)
-    positions = (jnp.arange(N, dtype=w.dtype) + u0) / N
     cum = jnp.cumsum(w)
     cum = cum / cum[-1]  # exact 1.0 endpoint under fp32
-    idx = jnp.searchsorted(cum, positions)
-    idx = jnp.clip(idx, 0, N - 1)
+    m = jnp.clip(jnp.floor(N * cum - u0).astype(jnp.int32) + 1, 0, N)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), m[:-1]])
+    hits = jnp.zeros((N,), jnp.int32).at[starts].add(1, mode="drop")
+    idx = jnp.cumsum(hits) - 1
     return parts[idx], jnp.full((N,), -jnp.log(jnp.asarray(N, w.dtype)))
 
 
