@@ -195,3 +195,88 @@ def test_fista_mpc_fused_g_matches_two_step(qp_and_g):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_out), np.asarray(g),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_admm_zy_form_matches_s_form(qp_and_g):
+    """The (z,y)-form kernel body (kept for the reproducible bench A/B,
+    bench.py --ab-admm) is algebraically identical to the s-form — same
+    solution and residuals to fp32 round-off at the mixed schedule."""
+    from numpower_tpu.kernels.boxqp_admm import admm_mpc_pallas_res
+
+    qp, _ = qp_and_g
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(0.3 * rng.standard_normal((24, 12)).astype(np.float32))
+    rho = jnp.sqrt(qp.lipschitz * jnp.maximum(qp.mu, 1e-12))
+    args = (qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(-0.5),
+            jnp.float32(0.5), rho)
+    z_s, rp_s, rd_s = admm_mpc_pallas_res(*args, iters=40, coarse_iters=20,
+                                          tile_n=16, interpret=True)
+    z_zy, rp_zy, rd_zy = admm_mpc_pallas_res(*args, iters=40, coarse_iters=20,
+                                             tile_n=16, interpret=True,
+                                             form="zy")
+    np.testing.assert_allclose(np.asarray(z_zy), np.asarray(z_s),
+                               rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(float(rp_zy), float(rp_s), atol=5e-5)
+    np.testing.assert_allclose(float(rd_zy), float(rd_s), atol=5e-5)
+
+
+def test_fista_fused_res_warm_start(qp_and_g):
+    """Round 3: the fully-fused res kernel accepts a warm start — from the
+    converged solution, a few iterations stay put (the serving tick path)."""
+    from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas_res
+
+    qp, _ = qp_and_g
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(0.3 * rng.standard_normal((24, 12)).astype(np.float32))
+    args = (qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(-0.5),
+            jnp.float32(0.5), qp.lipschitz)
+    U_star, _ = fista_mpc_pallas_res(*args, iters=300, coarse_iters=0,
+                                     tile_n=16, interpret=True)
+    U_warm, resid = fista_mpc_pallas_res(*args, iters=5, coarse_iters=0,
+                                         tile_n=16, interpret=True, U0=U_star)
+    np.testing.assert_allclose(np.asarray(U_warm), np.asarray(U_star),
+                               rtol=1e-4, atol=1e-5)
+    assert float(resid) < 1e-3
+
+
+def test_admm_fused_res_warm_start(qp_and_g):
+    """Same warm-start contract for the fused ADMM res kernel (ADMM mesh
+    serving path, models/mpc.MPCController(solver='admm'))."""
+    from numpower_tpu.kernels.boxqp_admm import admm_mpc_pallas_res
+
+    qp, _ = qp_and_g
+    rng = np.random.default_rng(6)
+    x0s = jnp.asarray(0.3 * rng.standard_normal((24, 12)).astype(np.float32))
+    rho = jnp.sqrt(qp.lipschitz * jnp.maximum(qp.mu, 1e-12))
+    args = (qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(-0.5),
+            jnp.float32(0.5), rho)
+    z_star, _, _ = admm_mpc_pallas_res(*args, iters=300, coarse_iters=0,
+                                       tile_n=16, interpret=True)
+    z_warm, rp, _ = admm_mpc_pallas_res(*args, iters=10, coarse_iters=0,
+                                        tile_n=16, interpret=True, U0=z_star)
+    np.testing.assert_allclose(np.asarray(z_warm), np.asarray(z_star),
+                               rtol=1e-4, atol=5e-5)
+    assert float(rp) < 1e-3
+
+
+def test_flops_mfu_model():
+    """utils/flops.py invariants: logical <= padded <= weighted, the
+    documented d=120->128 iteration-GEMM padding ratio, and MFU algebra."""
+    from numpower_tpu.utils.flops import (
+        admm_mpc_cost, fista_mpc_cost, mfu_report, peak_tflops,
+    )
+
+    c = fista_mpc_cost(N=4096, n=12, d=120, iters=40, coarse_iters=27)
+    assert c.flops_logical < c.flops_padded < c.flops_weighted
+    # iteration GEMMs alone pad (120/128)^2 -> 12.1%; the g GEMM's n=12->128
+    # padding pushes the aggregate a little higher
+    assert 0.10 < c.padding_waste < 0.25
+    # MFU algebra: measured == SoL -> MFU 1
+    assert abs(c.mfu(c.sol_seconds(197.0), 197.0) - 1.0) < 1e-12
+    a = admm_mpc_cost(N=4096, n=12, d=120, iters=40, coarse_iters=32)
+    # ADMM's schedule has more coarse iterations -> fewer weighted passes
+    assert a.flops_weighted < c.flops_weighted
+    # report renders without a TPU (peak None) and with a peak
+    assert "MFU n/a" in mfu_report("x", c, 60e-6, None)
+    assert "MFU" in mfu_report("x", c, 60e-6, 197.0)
+    assert peak_tflops.__doc__  # importable API
