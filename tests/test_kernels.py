@@ -280,3 +280,28 @@ def test_flops_mfu_model():
     assert "MFU n/a" in mfu_report("x", c, 60e-6, None)
     assert "MFU" in mfu_report("x", c, 60e-6, 197.0)
     assert peak_tflops.__doc__  # importable API
+
+
+def test_fista_fused_long_horizon_envelope():
+    """Round 3: the folded prediction chain removed the T*n <= 1024 VMEM
+    bound on the fully-fused path — a horizon-100 quadrotor QP (Tn = 1200,
+    d = 400) now runs fused and matches the XLA scan."""
+    from numpower_tpu.models import condense, quadrotor12
+    from numpower_tpu.models.boxqp import solve_mpc_boxqp
+    from numpower_tpu.kernels.boxqp_fista import fista_mpc_pallas_res
+
+    A, B = quadrotor12(0.02)
+    qp = condense(A, B, jnp.eye(12), jnp.eye(4) * 0.1, jnp.eye(12) * 5.0, 100)
+    assert qp.Sx.shape[0] == 1200  # the shape the old bound rejected
+    rng = np.random.default_rng(8)
+    x0s = jnp.asarray(0.2 * rng.standard_normal((16, 12)).astype(np.float32))
+    ref = solve_mpc_boxqp(qp, x0s, -0.5, 0.5, iters=50, method="fista",
+                          coarse_iters=0)
+    U, resid = fista_mpc_pallas_res(
+        qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(-0.5), jnp.float32(0.5),
+        qp.lipschitz, iters=50, coarse_iters=0, tile_n=16, interpret=True)
+    # 1e-4: the framework parity bound — at d=400/Tn=1200 the folded-chain
+    # vs two-GEMM g formation differ by fp32 accumulation order
+    np.testing.assert_allclose(np.asarray(U), np.asarray(ref.U),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(resid), float(ref.residual), atol=1e-4)
