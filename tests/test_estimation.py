@@ -136,6 +136,34 @@ def test_kalman_batched_matches_single(lti_data):
                                float(r0.log_likelihood), rtol=1e-5)
 
 
+def test_batched_fast_path_matches_vmap():
+    """The shared-covariance fast path (gains computed once, batched mean
+    recurrence) must match the vmapped full filter field-for-field — with
+    and without known inputs, on dims that exercise n != p."""
+    from numpower_tpu.models.estimation import _kalman_filter_batched_vmap
+
+    rng = np.random.default_rng(3)
+    n, p, m, N, T = 3, 2, 2, 9, 23
+    A = jnp.asarray(np.eye(n) + 0.05 * rng.standard_normal((n, n)),
+                    jnp.float32)
+    C = jnp.asarray(rng.standard_normal((p, n)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+    Q = jnp.eye(n) * 0.01
+    R = jnp.eye(p) * 0.1
+    P0 = jnp.eye(n) * 0.5
+    x0s = jnp.asarray(rng.standard_normal((N, n)), jnp.float32)
+    yss = jnp.asarray(rng.standard_normal((N, T, p)), jnp.float32)
+    uss = jnp.asarray(0.3 * rng.standard_normal((N, T, m)), jnp.float32)
+    for kw in ({}, {"B": B, "uss": uss}):
+        fast = kalman_filter_batched(A, C, Q, R, x0s, P0, yss, **kw)
+        ref = _kalman_filter_batched_vmap(A, C, Q, R, x0s, P0, yss, **kw)
+        for field in fast._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(fast, field)),
+                np.asarray(getattr(ref, field)),
+                rtol=1e-5, atol=1e-4, err_msg=field)
+
+
 def test_kalman_jittable(lti_data):
     A, B, C, Q, R, _, ys = lti_data
 
