@@ -444,10 +444,12 @@ def bench_estimation(scenarios: int, reps: int):
             A, C, Q, R, x0, P0, ys + i * 1e-6).log_likelihood,
         (ys_long,), K=8, reps=max(2, reps // 3),
     )
+    # K=64: the associative path is ~1.2 ms/call post-adjugate-solve, so an
+    # 8-call window (~10 ms) sits inside the relay's RTT jitter
     t_par = _device_time_per_call(
         lambda ys, i: kalman_filter_associative(
             A, C, Q, R, x0, P0, ys + i * 1e-6).log_likelihood,
-        (ys_long,), K=8, reps=max(2, reps // 3),
+        (ys_long,), K=64, reps=max(2, reps // 3),
     )
     _log(
         f"[kalman] T={T_long} single filter: sequential {t_seq*1e3:.2f} ms vs "

@@ -244,8 +244,10 @@ def kalman_smoother_associative(A: jax.Array, filt: KalmanResult
     xs_p, Ps_p = filt.pred_means, filt.pred_covs
 
     def make_element(x_f, P_f, x_p_next, P_p_next):
-        L = jnp.linalg.cholesky(P_p_next)
-        G = jax.scipy.linalg.cho_solve((L, True), A @ P_f).T  # P_f A' P_p^-1
+        # P_p is PD, so the adjugate solve applies; vmapped
+        # jnp.linalg.cholesky would run XLA's slow batched factorization
+        # over all T elements (see _solve_small)
+        G = _solve_small(P_p_next, A @ P_f).T  # P_f A' P_p^-1
         e = x_f - G @ x_p_next
         D = P_f - G @ P_p_next @ G.T
         return G, e, 0.5 * (D + D.T)
@@ -450,6 +452,45 @@ def _mv(M, v):
     return (M @ v[..., None])[..., 0]
 
 
+def _solve_small(M, rhs):
+    """Batched solve M X = rhs for tiny NON-symmetric M (the I + C J
+    denominators of the associative combines). XLA's batched LU
+    (jnp.linalg.solve) runs its pivoting loops per matrix and dominates
+    the whole parallel-in-time filter on TPU (measured: ~8 ms of the
+    T=4096 scan was LU); for n <= 3 the adjugate closed form is pure
+    lane-parallel elementwise work. Falls back to LU above n = 3."""
+    n = M.shape[-1]
+    if n == 1:
+        return rhs / M[..., 0:1, 0:1]
+    if n == 2:
+        a = M[..., 0, 0]; b = M[..., 0, 1]
+        c = M[..., 1, 0]; d = M[..., 1, 1]
+        det = a * d - b * c
+        inv = jnp.stack([
+            jnp.stack([d, -b], axis=-1),
+            jnp.stack([-c, a], axis=-1),
+        ], axis=-2) / det[..., None, None]
+        return inv @ rhs
+    if n == 3:
+        m00 = M[..., 0, 0]; m01 = M[..., 0, 1]; m02 = M[..., 0, 2]
+        m10 = M[..., 1, 0]; m11 = M[..., 1, 1]; m12 = M[..., 1, 2]
+        m20 = M[..., 2, 0]; m21 = M[..., 2, 1]; m22 = M[..., 2, 2]
+        c00 = m11 * m22 - m12 * m21
+        c01 = m12 * m20 - m10 * m22
+        c02 = m10 * m21 - m11 * m20
+        det = m00 * c00 + m01 * c01 + m02 * c02
+        adj = jnp.stack([
+            jnp.stack([c00, m02 * m21 - m01 * m22, m01 * m12 - m02 * m11],
+                      axis=-1),
+            jnp.stack([c01, m00 * m22 - m02 * m20, m02 * m10 - m00 * m12],
+                      axis=-1),
+            jnp.stack([c02, m01 * m20 - m00 * m21, m00 * m11 - m01 * m10],
+                      axis=-1),
+        ], axis=-2)
+        return (adj / det[..., None, None]) @ rhs
+    return jnp.linalg.solve(M, rhs)
+
+
 def _kf_combine(ei: _KFElement, ej: _KFElement) -> _KFElement:
     """Combine earlier element i with later element j (associative)."""
     n = ei.A.shape[-1]
@@ -457,7 +498,7 @@ def _kf_combine(ei: _KFElement, ej: _KFElement) -> _KFElement:
     # denom = I + C_i J_j; one solve reused for the A/b/C updates
     rhs = jnp.concatenate(
         [ei.A, ei.C, (ei.b + _mv(ei.C, ej.eta))[..., None]], axis=-1)
-    M = jnp.linalg.solve(I + ei.C @ ej.J, rhs)
+    M = _solve_small(I + ei.C @ ej.J, rhs)
     MA, MC, Mb = M[..., :n], M[..., n:2 * n], M[..., 2 * n]
     A = ej.A @ MA
     b = _mv(ej.A, Mb) + ej.b
@@ -465,7 +506,7 @@ def _kf_combine(ei: _KFElement, ej: _KFElement) -> _KFElement:
     # (I + J_j C_i)^{-1} applied to [eta_j - J_j b_i, J_j A_i]
     rhs2 = jnp.concatenate(
         [(ej.eta - _mv(ej.J, ei.b))[..., None], ej.J @ ei.A], axis=-1)
-    M2 = jnp.linalg.solve(I + ej.J @ ei.C, rhs2)
+    M2 = _solve_small(I + ej.J @ ei.C, rhs2)
     AiT = ei.A.swapaxes(-1, -2)
     eta = _mv(AiT, M2[..., 0]) + ei.eta
     J = AiT @ M2[..., 1:] + ei.J
