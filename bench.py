@@ -245,11 +245,13 @@ def bench_lqr(horizon: int, reps: int):
     Qq = np.eye(12, dtype=np.float32)
     Rq = np.eye(4, dtype=np.float32) * 0.1
     QFq = np.eye(12, dtype=np.float32) * 5.0
+    # K=64: at ~0.5 ms/call an 8-call window sits inside the relay's RTT
+    # jitter (observed collapsing to 0.00 ms)
     t2b = _device_time_per_call(
         lambda As, Bs, i: riccati_scan_per_scenario(
             As + i * 1e-6, Bs, Qq, Rq, QFq, horizon
         )[0][0, 0, 0, 0],
-        (As, Bs), K=8, reps=max(2, reps // 3),
+        (As, Bs), K=64, reps=max(2, reps // 3),
     )
     _log(
         f"[config2b] {N}-scenario per-scenario Riccati h={horizon}: "
@@ -275,7 +277,7 @@ def bench_ilqr(reps: int):
             cartpole_step, x0 + i * 1e-6, Q, R, QF, x_goal,
             horizon=50, iters=10, use_fd=True,
         ).cost,
-        (x0,), K=8, reps=max(2, reps // 2),
+        (x0,), K=32, reps=max(2, reps // 2),
     )
     _log(f"[config3] cartpole iLQR (fd, 10 iters, h=50): {t*1e3:.2f} ms/solve device")
 
@@ -293,7 +295,7 @@ def bench_ilqr(reps: int):
                 horizon=50, iters=10, use_fd=True, backend=backend,
             ).cost
         ),
-        (x0s,), K=4, reps=2,
+        (x0s,), K=16, reps=3,
     )
     _log(
         f"[config3b] 256-scenario batched iLQR ({backend} backward): "

@@ -452,43 +452,7 @@ def _mv(M, v):
     return (M @ v[..., None])[..., 0]
 
 
-def _solve_small(M, rhs):
-    """Batched solve M X = rhs for tiny NON-symmetric M (the I + C J
-    denominators of the associative combines). XLA's batched LU
-    (jnp.linalg.solve) runs its pivoting loops per matrix and dominates
-    the whole parallel-in-time filter on TPU (measured: ~8 ms of the
-    T=4096 scan was LU); for n <= 3 the adjugate closed form is pure
-    lane-parallel elementwise work. Falls back to LU above n = 3."""
-    n = M.shape[-1]
-    if n == 1:
-        return rhs / M[..., 0:1, 0:1]
-    if n == 2:
-        a = M[..., 0, 0]; b = M[..., 0, 1]
-        c = M[..., 1, 0]; d = M[..., 1, 1]
-        det = a * d - b * c
-        inv = jnp.stack([
-            jnp.stack([d, -b], axis=-1),
-            jnp.stack([-c, a], axis=-1),
-        ], axis=-2) / det[..., None, None]
-        return inv @ rhs
-    if n == 3:
-        m00 = M[..., 0, 0]; m01 = M[..., 0, 1]; m02 = M[..., 0, 2]
-        m10 = M[..., 1, 0]; m11 = M[..., 1, 1]; m12 = M[..., 1, 2]
-        m20 = M[..., 2, 0]; m21 = M[..., 2, 1]; m22 = M[..., 2, 2]
-        c00 = m11 * m22 - m12 * m21
-        c01 = m12 * m20 - m10 * m22
-        c02 = m10 * m21 - m11 * m20
-        det = m00 * c00 + m01 * c01 + m02 * c02
-        adj = jnp.stack([
-            jnp.stack([c00, m02 * m21 - m01 * m22, m01 * m12 - m02 * m11],
-                      axis=-1),
-            jnp.stack([c01, m00 * m22 - m02 * m20, m02 * m10 - m00 * m12],
-                      axis=-1),
-            jnp.stack([c02, m01 * m20 - m00 * m21, m00 * m11 - m01 * m10],
-                      axis=-1),
-        ], axis=-2)
-        return (adj / det[..., None, None]) @ rhs
-    return jnp.linalg.solve(M, rhs)
+from numpower_tpu.utils.smallmat import solve_small as _solve_small
 
 
 def _kf_combine(ei: _KFElement, ej: _KFElement) -> _KFElement:

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from numpower_tpu.models.lqr import _psd_solve
 from numpower_tpu.models.rollout import linearize_trajectory, rollout_nonlinear
 
 
@@ -73,9 +74,13 @@ def _backward_pass(As, Bs, xs, us, Q, R, QF, x_goal, reg,
         Qxx = lxx + A.T @ Vxx @ A
         Quu = luu + B.T @ Vxx @ B + reg * eye_m
         Qux = B.T @ Vxx @ A
-        L = jnp.linalg.cholesky(0.5 * (Quu + Quu.T))
-        k = -jax.scipy.linalg.cho_solve((L, True), Qu)
-        K = -jax.scipy.linalg.cho_solve((L, True), Qux)
+        # one unrolled SPD solve for [k | K] (utils/smallmat.py): avoids
+        # XLA's cholesky/triangular-solve custom calls inside the scan,
+        # which are latency-bound at m ~ 1..4 and block scan unrolling
+        sol = _psd_solve(0.5 * (Quu + Quu.T),
+                         jnp.concatenate([Qu[:, None], Qux], axis=1))
+        k = -sol[:, 0]
+        K = -sol[:, 1:]
         Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
         Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
         Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)

@@ -26,7 +26,15 @@ from jax import lax
 
 def _psd_solve(M, rhs):
     """Solve M x = rhs with M symmetric PD via Cholesky (two triangular
-    solves) — maps to lax.linalg primitives on-device."""
+    solves). For n <= 16 the factorization+substitutions are UNROLLED at
+    trace time into elementwise ops (utils/smallmat.py) — XLA's blocked
+    cholesky/triangular-solve custom calls are both slow when batched over
+    many tiny matrices and expensive to compile when a scan carrying them
+    is unrolled. Same recurrence as LAPACK spotrf, identical numerics."""
+    if M.shape[-1] <= 16:
+        from numpower_tpu.utils.smallmat import psd_solve_unrolled
+
+        return psd_solve_unrolled(M, rhs)
     L = jnp.linalg.cholesky(M)
     return jax.scipy.linalg.cho_solve((L, True), rhs)
 

@@ -1,0 +1,130 @@
+"""Small-matrix linear algebra as unrolled lane-parallel elementwise ops.
+
+XLA lowers jnp.linalg.cholesky / jnp.linalg.solve to LAPACK-style blocked
+custom calls (batched LU runs its pivoting loops PER MATRIX); on TPU these
+dominate any hot path that factors n <= ~12 matrices inside a scan or over
+a large batch — measured: the batched (4096, 12, 12) cholesky is ~50x off
+speed-of-light, and the parallel-in-time Kalman filter spent 7 of its
+8.4 ms in batched LU (BASELINE.md 2026-08-21). The reference hits the same
+operations through LAPACKE_spotrf/sgesv one matrix at a time
+(/root/reference/src/ndmath/linalg.c:1068, :893).
+
+The TPU-native answer for tiny n is to unroll the factorization at trace
+time: every line below indexes [..., i, j], so each of the O(n^2..n^3)
+generated operations is a pure elementwise op over the batch dims — the
+exact formulation the Pallas kernels use in-register
+(kernels/riccati.py _chol_solve_rows), available here to plain XLA code
+(scans, vmapped solvers) without a kernel boundary. Numerically these are
+the SAME recurrences LAPACK runs, so parity bounds are unchanged.
+
+Use for n <= ~16 (op count grows as n^3/6; beyond that prefer the blocked
+primitives or a Pallas kernel).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["cholesky_unrolled", "psd_solve_unrolled", "solve_small"]
+
+
+def cholesky_unrolled(M):
+    """Lower Cholesky of SPD M (..., n, n) via the scalar recurrence,
+    unrolled at trace time into elementwise ops over the batch dims."""
+    n = M.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        acc = M[..., j, j]
+        for k in range(j):
+            acc = acc - L[j][k] * L[j][k]
+        d = jnp.sqrt(acc)
+        inv = 1.0 / d
+        L[j][j] = d
+        for i in range(j + 1, n):
+            acc = M[..., i, j]
+            for k in range(j):
+                acc = acc - L[i][k] * L[j][k]
+            L[i][j] = acc * inv
+    rows = [
+        jnp.stack([L[i][j] if j <= i else jnp.zeros_like(L[i][i])
+                   for j in range(n)], axis=-1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def psd_solve_unrolled(M, rhs):
+    """Solve M X = rhs for SPD M (..., n, n); rhs (..., n, r) or (..., n).
+
+    Cholesky factor + forward/backward substitution, fully unrolled —
+    no custom calls, batch-friendly, scan-unroll-friendly."""
+    n = M.shape[-1]
+    vec = rhs.ndim == M.ndim - 1
+    if vec:
+        rhs = rhs[..., None]
+    # factor (keep L as scalars; avoids materializing the (..., n, n) stack)
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        acc = M[..., j, j]
+        for k in range(j):
+            acc = acc - L[j][k] * L[j][k]
+        d = jnp.sqrt(acc)
+        inv = 1.0 / d
+        L[j][j] = d
+        L[j].append(inv)  # L[j][n] caches 1/L[j][j]
+        for i in range(j + 1, n):
+            acc = M[..., i, j]
+            for k in range(j):
+                acc = acc - L[i][k] * L[j][k]
+            L[i][j] = acc * inv
+    # forward: L Y = rhs
+    y = [None] * n
+    for i in range(n):
+        acc = rhs[..., i, :]
+        for k in range(i):
+            acc = acc - L[i][k][..., None] * y[k]
+        y[i] = acc * L[i][n][..., None]
+    # backward: L' X = Y
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = y[i]
+        for k in range(i + 1, n):
+            acc = acc - L[k][i][..., None] * x[k]
+        x[i] = acc * L[i][n][..., None]
+    out = jnp.stack(x, axis=-2)
+    return out[..., 0] if vec else out
+
+
+def solve_small(M, rhs):
+    """Solve M X = rhs for general (non-symmetric) tiny M: adjugate closed
+    form for n <= 3 (pure elementwise over batch dims), LU fallback above."""
+    n = M.shape[-1]
+    if n == 1:
+        return rhs / M[..., 0:1, 0:1]
+    if n == 2:
+        a = M[..., 0, 0]; b = M[..., 0, 1]
+        c = M[..., 1, 0]; d = M[..., 1, 1]
+        det = a * d - b * c
+        inv = jnp.stack([
+            jnp.stack([d, -b], axis=-1),
+            jnp.stack([-c, a], axis=-1),
+        ], axis=-2) / det[..., None, None]
+        return inv @ rhs
+    if n == 3:
+        m00 = M[..., 0, 0]; m01 = M[..., 0, 1]; m02 = M[..., 0, 2]
+        m10 = M[..., 1, 0]; m11 = M[..., 1, 1]; m12 = M[..., 1, 2]
+        m20 = M[..., 2, 0]; m21 = M[..., 2, 1]; m22 = M[..., 2, 2]
+        c00 = m11 * m22 - m12 * m21
+        c01 = m12 * m20 - m10 * m22
+        c02 = m10 * m21 - m11 * m20
+        det = m00 * c00 + m01 * c01 + m02 * c02
+        adj = jnp.stack([
+            jnp.stack([c00, m02 * m21 - m01 * m22, m01 * m12 - m02 * m11],
+                      axis=-1),
+            jnp.stack([c01, m00 * m22 - m02 * m20, m02 * m10 - m00 * m12],
+                      axis=-1),
+            jnp.stack([c02, m01 * m20 - m00 * m21, m00 * m11 - m01 * m10],
+                      axis=-1),
+        ], axis=-2)
+        return (adj / det[..., None, None]) @ rhs
+    return jnp.linalg.solve(M, rhs)
