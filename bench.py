@@ -258,6 +258,28 @@ def bench_lqr(horizon: int, reps: int):
         f"{t2b*1e3:.2f} ms/batch -> {N/t2b:,.0f} solves/s"
     )
 
+    # long-horizon parallel-in-time Riccati (the SP engine's in-device
+    # primitive): sequential scan vs associative O(log T) at flagship dims
+    from numpower_tpu.models.lqr import riccati_associative, riccati_scan
+
+    T_long = 4096
+    Aq_j, Bq_j = jnp.asarray(Aq), jnp.asarray(Bq)
+    QFq_j = jnp.asarray(QFq)
+    t_rs = _device_time_per_call(
+        lambda QF_, i: riccati_scan(
+            Aq_j, Bq_j, Qq, Rq, QF_ + i * 1e-6, T_long)[0][0, 0, 0],
+        (QFq_j,), K=8, reps=max(2, reps // 3),
+    )
+    t_ra = _device_time_per_call(
+        lambda QF_, i: riccati_associative(
+            Aq_j, Bq_j, Qq, Rq, QF_ + i * 1e-6, T_long)[0][0, 0, 0],
+        (QFq_j,), K=32, reps=max(2, reps // 3),
+    )
+    _log(
+        f"[riccati] T={T_long} n=12 single: sequential {t_rs*1e3:.2f} ms vs "
+        f"associative {t_ra*1e3:.2f} ms ({t_rs/t_ra:.1f}x)"
+    )
+
 
 def bench_ilqr(reps: int):
     """Config #3: cartpole iLQR with finite-diff Jacobians."""

@@ -75,8 +75,13 @@ def _combine(ei: _RiccatiElement, ej: _RiccatiElement) -> _RiccatiElement:
     parallel LQT/dynamic-programming elements)."""
     n = ei.F.shape[-1]
     I = jnp.eye(n, dtype=ei.F.dtype)
-    # (I + C_i J_j)^{-1} applied from the left.
-    M = jnp.linalg.solve(I + ei.C @ ej.J, jnp.concatenate([ei.F, ei.C], axis=-1))
+    # (I + C_i J_j)^{-1} applied from the left. solve_small: XLA's batched
+    # LU runs per-matrix pivot loops and made the associative scan no
+    # faster than the sequential recursion at n=12 (measured 29.1 vs
+    # 29.3 ms, T=4096, v5e 2026-08-21 — see utils/smallmat.py).
+    from numpower_tpu.utils.smallmat import solve_small
+
+    M = solve_small(I + ei.C @ ej.J, jnp.concatenate([ei.F, ei.C], axis=-1))
     MF, MC = M[..., :n], M[..., n:]
     F = ej.F @ MF
     C = ej.F @ MC @ ej.F.swapaxes(-1, -2) + ej.C
