@@ -41,6 +41,35 @@ class SmootherResult(NamedTuple):
     covs: jax.Array   # (T, n, n) smoothed covariances
 
 
+
+def _chol(S):
+    """Cholesky routed through the trace-time-unrolled recurrence for
+    n <= 16 (utils/smallmat.py) — avoids XLA's blocked custom call, which
+    is latency-bound inside scans and slow when batched over tiny
+    matrices. Same algorithm, identical numerics."""
+    if S.shape[-1] <= 16:
+        from numpower_tpu.utils.smallmat import cholesky_unrolled
+
+        return cholesky_unrolled(S)
+    return jnp.linalg.cholesky(S)
+
+
+def _trisolve(L, rhs, lower=True):
+    if L.shape[-1] <= 16:
+        from numpower_tpu.utils.smallmat import tri_solve_unrolled
+
+        return tri_solve_unrolled(L, rhs, lower=lower)
+    return jax.scipy.linalg.solve_triangular(L, rhs, lower=lower)
+
+
+def _chosolve(L, rhs):
+    """(L L')^{-1} rhs given the lower Cholesky factor L."""
+    if L.shape[-1] <= 16:
+        z = _trisolve(L, rhs, lower=True)
+        return _trisolve(L.swapaxes(-1, -2), z, lower=False)
+    return jax.scipy.linalg.cho_solve((L, True), rhs)
+
+
 def _filter_step(A, C, Q, R, x, P, y, u_term):
     """One predict+update. Returns (x_f, P_f, x_p, P_p, ll)."""
     n = x.shape[0]
@@ -52,15 +81,15 @@ def _filter_step(A, C, Q, R, x, P, y, u_term):
     v = y - C @ x_p
     S = C @ P_p @ C.T + R
     S = 0.5 * (S + S.T)
-    L = jnp.linalg.cholesky(S)
+    L = _chol(S)
     # K = P_p C' S^{-1}  via two triangular solves
     CP = C @ P_p                                   # (p, n)
-    W = jax.scipy.linalg.cho_solve((L, True), CP)  # S^{-1} C P_p  (p, n)
+    W = _chosolve(L, CP)  # S^{-1} C P_p  (p, n)
     x_f = x_p + W.T @ v
     P_f = P_p - W.T @ CP
     P_f = 0.5 * (P_f + P_f.T)
     # innovation log-density: -1/2 (v'S^-1 v + log det S + p log 2pi)
-    alpha = jax.scipy.linalg.solve_triangular(L, v, lower=True)
+    alpha = _trisolve(L, v)
     p = y.shape[0]
     ll = -0.5 * (alpha @ alpha + p * jnp.log(2.0 * jnp.pi)) - jnp.sum(
         jnp.log(jnp.diagonal(L)))
@@ -160,12 +189,12 @@ def kalman_filter_batched(A, C, Q, R, x0s, P0, yss, B=None, uss=None
         P_p = 0.5 * (P_p + P_p.T)
         S = C @ P_p @ C.T + R
         S = 0.5 * (S + S.T)
-        L = jnp.linalg.cholesky(S)
+        L = _chol(S)
         CP = C @ P_p                                   # (p, n)
-        W = jax.scipy.linalg.cho_solve((L, True), CP)  # (p, n); K = W.T
+        W = _chosolve(L, CP)  # (p, n); K = W.T
         P_f = P_p - W.T @ CP
         P_f = 0.5 * (P_f + P_f.T)
-        invL = jax.scipy.linalg.solve_triangular(L, eye_p, lower=True)
+        invL = _trisolve(L, eye_p)
         logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
         return P_f, (W, P_p, P_f, invL, logdet)
 
@@ -207,9 +236,9 @@ def kalman_smoother(A: jax.Array, filt: KalmanResult) -> SmootherResult:
     def step(carry, inputs):
         x_s, P_s = carry
         x_f, P_f, x_p_next, P_p_next = inputs
-        L = jnp.linalg.cholesky(P_p_next)
+        L = _chol(P_p_next)
         # G = P_f A' P_p^{-1}  ->  G' = P_p^{-1} (A P_f)
-        G_T = jax.scipy.linalg.cho_solve((L, True), A @ P_f)
+        G_T = _chosolve(L, A @ P_f)
         x_new = x_f + G_T.T @ (x_s - x_p_next)
         P_new = P_f + G_T.T @ (P_s - P_p_next) @ G_T
         P_new = 0.5 * (P_new + P_new.T)
@@ -305,13 +334,13 @@ def ekf_filter(
         v = y - h(x_p)
         S = C @ P_p @ C.T + R
         S = 0.5 * (S + S.T)
-        L = jnp.linalg.cholesky(S)
+        L = _chol(S)
         CP = C @ P_p
-        W = jax.scipy.linalg.cho_solve((L, True), CP)
+        W = _chosolve(L, CP)
         x_f = x_p + W.T @ v
         P_f = P_p - W.T @ CP
         P_f = 0.5 * (P_f + P_f.T)
-        alpha = jax.scipy.linalg.solve_triangular(L, v, lower=True)
+        alpha = _trisolve(L, v)
         p = y.shape[0]
         l = -0.5 * (alpha @ alpha + p * jnp.log(2.0 * jnp.pi)) - jnp.sum(
             jnp.log(jnp.diagonal(L)))
@@ -422,7 +451,7 @@ def kalman_filter_sqrt(
         Kbar = L[p:, :p]
         S_f = L[p:, p:]
         v = y - C @ x_p
-        alpha = jax.scipy.linalg.solve_triangular(S_y, v, lower=True)
+        alpha = _trisolve(S_y, v)
         x_f = x_p + Kbar @ alpha
         l = -0.5 * (alpha @ alpha + p * log2pi) - jnp.sum(
             jnp.log(jnp.diagonal(S_y)))
@@ -510,12 +539,12 @@ def kalman_filter_associative(
 
     # generic element (k >= 2): update vs the PROCESS noise prior
     S = C @ Q @ C.T + R
-    Ls = jnp.linalg.cholesky(0.5 * (S + S.T))
-    K = jax.scipy.linalg.cho_solve((Ls, True), C @ Q).T     # Q C' S^-1
+    Ls = _chol(0.5 * (S + S.T))
+    K = _chosolve(Ls, C @ Q).T     # Q C' S^-1
     IKC = jnp.eye(n, dtype=dt) - K @ C
     A_g = IKC @ A
     C_g = 0.5 * ((IKC @ Q) + (IKC @ Q).T)
-    HtSinv = jax.scipy.linalg.cho_solve((Ls, True), C).T    # C' S^-1  (n, p)
+    HtSinv = _chosolve(Ls, C).T    # C' S^-1  (n, p)
     J_g = A.T @ HtSinv @ C @ A
     J_g = 0.5 * (J_g + J_g.T)
 
@@ -534,8 +563,8 @@ def kalman_filter_associative(
     x1p = A @ x0 + cs[0]
     P1p = A @ P0 @ A.T + Q
     S1 = C @ P1p @ C.T + R
-    L1 = jnp.linalg.cholesky(0.5 * (S1 + S1.T))
-    K1 = jax.scipy.linalg.cho_solve((L1, True), C @ P1p).T
+    L1 = _chol(0.5 * (S1 + S1.T))
+    K1 = _chosolve(L1, C @ P1p).T
     C1 = (jnp.eye(n, dtype=dt) - K1 @ C) @ P1p
     first = _KFElement(
         A=jnp.zeros((n, n), dt),
@@ -562,9 +591,9 @@ def kalman_filter_associative(
         P_p = A @ P_prev @ A.T + Q
         P_p = 0.5 * (P_p + P_p.T)
         Sk = C @ P_p @ C.T + R
-        Lk = jnp.linalg.cholesky(0.5 * (Sk + Sk.T))
+        Lk = _chol(0.5 * (Sk + Sk.T))
         v = y - C @ x_p
-        alpha = jax.scipy.linalg.solve_triangular(Lk, v, lower=True)
+        alpha = _trisolve(Lk, v)
         ll = -0.5 * (alpha @ alpha + p * jnp.log(2.0 * jnp.pi)) - jnp.sum(
             jnp.log(jnp.diagonal(Lk)))
         return x_p, P_p, ll
@@ -607,7 +636,7 @@ def ukf_filter(
     wc = wm.at[0].add(1.0 - alpha * alpha + beta)
 
     def sigma_points(x, P):
-        S = jnp.linalg.cholesky(c * (0.5 * (P + P.T))
+        S = _chol(c * (0.5 * (P + P.T))
                                 + 1e-9 * jnp.eye(n, dtype=dt))
         return jnp.concatenate([x[None], x + S.T, x - S.T], axis=0)  # (2n+1, n)
 
@@ -629,14 +658,14 @@ def ukf_filter(
         S = (wc[:, None] * dY).T @ dY + R
         S = 0.5 * (S + S.T)
         Pxy = (wc[:, None] * (pts2 - x_p)).T @ dY
-        L = jnp.linalg.cholesky(S)
+        L = _chol(S)
         # K = Pxy S^{-1}  ->  K' = S^{-1} Pxy'
-        K_T = jax.scipy.linalg.cho_solve((L, True), Pxy.T)
+        K_T = _chosolve(L, Pxy.T)
         v = y - y_p
         x_f = x_p + K_T.T @ v
         P_f = P_p - K_T.T @ S @ K_T
         P_f = 0.5 * (P_f + P_f.T)
-        alpha_w = jax.scipy.linalg.solve_triangular(L, v, lower=True)
+        alpha_w = _trisolve(L, v)
         p = y.shape[0]
         l = -0.5 * (alpha_w @ alpha_w + p * jnp.log(2.0 * jnp.pi)) - jnp.sum(
             jnp.log(jnp.diagonal(L)))

@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = ["cholesky_unrolled", "psd_solve_unrolled", "solve_small",
-           "lu_solve_unrolled"]
+           "lu_solve_unrolled", "tri_solve_unrolled"]
 
 
 def cholesky_unrolled(M):
@@ -92,6 +92,25 @@ def psd_solve_unrolled(M, rhs):
         for k in range(i + 1, n):
             acc = acc - L[k][i][..., None] * x[k]
         x[i] = acc * L[i][n][..., None]
+    out = jnp.stack(x, axis=-2)
+    return out[..., 0] if vec else out
+
+
+def tri_solve_unrolled(L, rhs, lower: bool = True):
+    """Solve L X = rhs for triangular L (..., n, n); rhs (..., n, r) or
+    (..., n). Forward/backward substitution unrolled at trace time."""
+    n = L.shape[-1]
+    vec = rhs.ndim == L.ndim - 1
+    if vec:
+        rhs = rhs[..., None]
+    x = [None] * n
+    order = range(n) if lower else range(n - 1, -1, -1)
+    for i in order:
+        acc = rhs[..., i, :]
+        ks = range(i) if lower else range(i + 1, n)
+        for k in ks:
+            acc = acc - L[..., i, k][..., None] * x[k]
+        x[i] = acc / L[..., i, i][..., None]
     out = jnp.stack(x, axis=-2)
     return out[..., 0] if vec else out
 
