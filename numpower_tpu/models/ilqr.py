@@ -87,10 +87,15 @@ def _backward_pass(As, Bs, xs, us, Q, R, QF, x_goal, reg,
         return (Vx_new, Vxx_new), (k, K)
 
     xs_t = xs[:-1]
+    # full unroll at MPC horizons: the per-step ops are tiny (n,m ~ 4..12)
+    # so a rolled scan is loop-overhead-bound (docs/ARCHITECTURE.md
+    # scan-latency rule; measured 3.18 -> 2.33 ms on the cartpole config
+    # with forward+backward unrolled, v5e 2026-08-21)
     _, (ks_rev, Ks_rev) = lax.scan(
         step, (VX_T, VXX_T),
         (As[::-1], Bs[::-1], xs_t[::-1], us[::-1],
-         lu_pen[::-1], luu_pen[::-1])
+         lu_pen[::-1], luu_pen[::-1]),
+        unroll=T if T <= 64 else 1,
     )
     return jnp.flip(ks_rev, 0), jnp.flip(Ks_rev, 0)
 
@@ -104,7 +109,9 @@ def _forward_pass(f, x0, xs_nom, us_nom, ks, Ks, alpha):
         x_next = f(x, u)
         return x_next, (u, x_next)
 
-    _, (us, xs) = lax.scan(step, x0, (xs_nom[:-1], us_nom, ks, Ks))
+    T = us_nom.shape[0]
+    _, (us, xs) = lax.scan(step, x0, (xs_nom[:-1], us_nom, ks, Ks),
+                           unroll=T if T <= 64 else 1)
     return us, jnp.concatenate([x0[None], xs], axis=0)
 
 
