@@ -130,33 +130,33 @@ def lu_solve_unrolled(M, rhs):
         rhs = rhs[..., None]
     W = jnp.concatenate([M, rhs], axis=-1)          # (..., n, n + r)
     ridx = jnp.arange(n)
+    # Gauss-Jordan with IMPLICIT pivoting: rows are never physically
+    # swapped (a batched take_along_axis row gather measured 3.2 ms vs
+    # 0.61 ms for masked-select swaps vs ~0.3 ms for this form on a
+    # (4096,12,12) 24-rhs solve, v5e 2026-08-21). Each step picks the
+    # largest-|.| not-yet-pivoted row of column k via a masked argmax,
+    # eliminates column k from EVERY other row (one rank-1 update of the
+    # full augmented block), and remembers the pivot assignment as a
+    # one-hot; the solution is read out at the end row-by-row. No back
+    # substitution, no row-position bookkeeping.
+    used = jnp.zeros(W.shape[:-2] + (n,), bool)     # rows already pivoted
+    onehots = []
     for k in range(n):
-        col = jnp.abs(W[..., :, k])
-        col = jnp.where(ridx >= k, col, -jnp.inf)
-        p = jnp.argmax(col, axis=-1)                # (...,)
-        # swap rows k <-> p with one-hot masked selects — NOT
-        # take_along_axis: the batched row gather measured 3.2 ms vs
-        # 124 us for the elimination itself on a (4096, 12, 12) solve
-        # (v5e, 2026-08-21); masked selects keep it pure VPU work
-        onehot_p = ridx == p[..., None]             # (..., n)
-        row_k = W[..., k, :]                        # (..., n + r)
-        pivot_row = jnp.sum(
-            jnp.where(onehot_p[..., None], W, 0.0), axis=-2)
-        is_k = (ridx == k)[:, None]                 # (n, 1)
-        W = jnp.where(is_k, pivot_row[..., None, :], W)
-        W = jnp.where((onehot_p & (ridx != k))[..., None],
-                      row_k[..., None, :], W)
-        # eliminate below the pivot
-        factors = W[..., :, k] / pivot_row[..., k][..., None]
-        factors = jnp.where(ridx > k, factors, 0.0)
+        col = jnp.where(used, -jnp.inf, jnp.abs(W[..., :, k]))
+        oh = ridx == jnp.argmax(col, axis=-1)[..., None]   # (..., n)
+        used = used | oh
+        pivot_row = jnp.sum(jnp.where(oh[..., None], W, 0.0), axis=-2)
+        factors = jnp.where(oh, 0.0,
+                            W[..., :, k] / pivot_row[..., k][..., None])
         W = W - factors[..., None] * pivot_row[..., None, :]
-    # back substitution on the upper-triangular augmented block
-    x = [None] * n
-    for i in range(n - 1, -1, -1):
-        acc = W[..., i, n:]
-        for j in range(i + 1, n):
-            acc = acc - W[..., i, j][..., None] * x[j]
-        x[i] = acc / W[..., i, i][..., None]
+        onehots.append(oh)
+    # after full elimination each pivot row is nonzero only in its pivot
+    # column (and the rhs block): x_k = pivot-row rhs / pivot value
+    x = []
+    for k in range(n):
+        oh = onehots[k][..., None]
+        prow = jnp.sum(jnp.where(oh, W, 0.0), axis=-2)      # (..., n + r)
+        x.append(prow[..., n:] / prow[..., k][..., None])
     out = jnp.stack(x, axis=-2)
     return out[..., 0] if vec else out
 
