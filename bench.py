@@ -501,7 +501,7 @@ def bench_tube(scenarios: int, reps: int):
         lambda qp, x0, w, i: tube_mpc_solve(
             qp, A, B, Q, R, x0 + i * 1e-6, w, -1.0, 1.0
         ).tube_radius[0],
-        (qp, x0, w), K=16, reps=reps,
+        (qp, x0, w), K=256, reps=reps,
     )
     _log(
         f"[config5] tube-MPC sweep N={scenarios}: {t*1e3:.3f} ms/sweep device "
@@ -650,9 +650,12 @@ def bench_serving(scenarios: int, horizon: int, reps: int):
     import jax as _jax
     from jax import lax
 
-    # 256 ticks/window: ~7-12 ms of device work per rep, clear of the
-    # relay's RTT jitter (K=32 measured IQR > median)
-    K = 32 if scenarios <= 512 else 256
+    # 512 ticks/window: ~25 ms of device work per rep — matches the
+    # flagship's K=512 methodology. On stall-heavy relay days a spurious
+    # ~200 ms readback divides down to ~0.4 us/tick contamination at this
+    # window instead of the ~0.8 us a 256-tick window leaves (observed
+    # IQR 225 us on a 47 us quantity, 2026-08-21)
+    K = 32 if scenarios <= 512 else 512
 
     @_jax.jit
     def rep(state, x):
