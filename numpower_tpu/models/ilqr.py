@@ -45,7 +45,7 @@ def _total_cost(xs, us, Q, R, QF, x_goal):
 
 
 def _backward_pass(As, Bs, xs, us, Q, R, QF, x_goal, reg,
-                   lu_pen=None, luu_pen=None):
+                   lu_pen=None, luu_pen=None, unroll: int = 1):
     """LQ backward pass on the linearized system with quadratic tracking
     cost. Returns feedforward ks (T, m) and feedback Ks (T, m, n).
 
@@ -87,21 +87,26 @@ def _backward_pass(As, Bs, xs, us, Q, R, QF, x_goal, reg,
         return (Vx_new, Vxx_new), (k, K)
 
     xs_t = xs[:-1]
-    # full unroll at MPC horizons: the per-step ops are tiny (n,m ~ 4..12)
-    # so a rolled scan is loop-overhead-bound (docs/ARCHITECTURE.md
-    # scan-latency rule; measured 3.18 -> 2.33 ms on the cartpole config
-    # with forward+backward unrolled, v5e 2026-08-21)
+    # unroll is caller-controlled: it wins ONLY on single-scenario solves
+    # where per-step ops are tiny and the rolled scan is loop-overhead-
+    # bound (3.18 -> 2.33 ms on the cartpole config); under vmap the
+    # per-step ops carry the batch and unrolling REGRESSES (fused
+    # AL-iLQR measured 1.8 -> 6.4 ms with unrolled forward passes, v5e
+    # 2026-08-21 interleaved A/B) — batched callers keep the default 1
     _, (ks_rev, Ks_rev) = lax.scan(
         step, (VX_T, VXX_T),
         (As[::-1], Bs[::-1], xs_t[::-1], us[::-1],
          lu_pen[::-1], luu_pen[::-1]),
-        unroll=T if T <= 64 else 1,
+        unroll=unroll,
     )
     return jnp.flip(ks_rev, 0), jnp.flip(Ks_rev, 0)
 
 
-def _forward_pass(f, x0, xs_nom, us_nom, ks, Ks, alpha):
-    """Closed-loop rollout u = u_nom + alpha*k + K(x - x_nom)."""
+def _forward_pass(f, x0, xs_nom, us_nom, ks, Ks, alpha, unroll: int = 1):
+    """Closed-loop rollout u = u_nom + alpha*k + K(x - x_nom).
+
+    unroll: see _backward_pass — single-scenario callers unroll, batched
+    callers must keep 1."""
 
     def step(x, inputs):
         x_nom, u_nom, k, K = inputs
@@ -109,9 +114,8 @@ def _forward_pass(f, x0, xs_nom, us_nom, ks, Ks, alpha):
         x_next = f(x, u)
         return x_next, (u, x_next)
 
-    T = us_nom.shape[0]
     _, (us, xs) = lax.scan(step, x0, (xs_nom[:-1], us_nom, ks, Ks),
-                           unroll=T if T <= 64 else 1)
+                           unroll=unroll)
     return us, jnp.concatenate([x0[None], xs], axis=0)
 
 
@@ -129,9 +133,14 @@ def ilqr_solve(
     fd_eps: float = 1e-4,
     us_init: Optional[jax.Array] = None,
     alphas: Tuple[float, ...] = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01),
+    unroll_scans: bool = True,
 ) -> ILQRResult:
-    """Full iLQR solve, jit-compatible. vmap over x0 for batched scenarios."""
+    """Full iLQR solve, jit-compatible. vmap over x0 for batched scenarios —
+    but pass unroll_scans=False when vmapping (ilqr_solve_batched does):
+    scan unrolling wins 27% on the single-scenario latency path and
+    REGRESSES batched runs (see _backward_pass)."""
     m = R.shape[0]
+    unroll = horizon if (unroll_scans and horizon <= 64) else 1
     us = (
         us_init
         if us_init is not None
@@ -144,10 +153,12 @@ def ilqr_solve(
     def outer(carry, _):
         xs, us, cost = carry
         As, Bs = linearize_trajectory(f, xs, us, use_fd=use_fd, eps=fd_eps)
-        ks, Ks = _backward_pass(As, Bs, xs, us, Q, R, QF, x_goal, reg)
+        ks, Ks = _backward_pass(As, Bs, xs, us, Q, R, QF, x_goal, reg,
+                                unroll=unroll)
 
         def try_alpha(alpha):
-            us_a, xs_a = _forward_pass(f, x0, xs, us, ks, Ks, alpha)
+            us_a, xs_a = _forward_pass(f, x0, xs, us, ks, Ks, alpha,
+                                       unroll=unroll)
             return _total_cost(xs_a, us_a, Q, R, QF, x_goal), us_a, xs_a
 
         costs_a, us_all, xs_all = jax.vmap(try_alpha)(alphas_arr)
@@ -179,6 +190,7 @@ def ilqr_solve_batched(f, x0s, Q, R, QF, x_goal, horizon, backend: str = "vmap",
     landscapes; both monotonically descend the cost.
     """
     if backend == "vmap":
+        kwargs.setdefault("unroll_scans", False)
         return jax.vmap(
             lambda x0: ilqr_solve(f, x0, Q, R, QF, x_goal, horizon, **kwargs)
         )(x0s)
