@@ -459,6 +459,34 @@ def bench_estimation(scenarios: int, reps: int):
         f"({N_pf*P_pf*T_pf/t/1e6:.0f}M particle-steps/s)"
     )
 
+    # vmapped UKF (nonlinear estimator lineup; the per-step sigma-point
+    # cholesky goes through the unrolled recurrence — BASELINE 5.8x note)
+    from numpower_tpu.models.estimation import ukf_filter
+
+    def f_pend(x, u):
+        th, om = x[0], x[1]
+        return jnp.stack(
+            [th + 0.05 * om, om - 0.05 * 9.81 * jnp.sin(th) + 0.05 * u[0]])
+
+    def h_pend(x):
+        return x[:1]
+
+    N_ukf, T_ukf = max(1, min(scenarios // 4, 1024)), 50
+    ys_u = jnp.asarray(rng.standard_normal((N_ukf, T_ukf, 1)).astype(np.float32))
+    us_u = jnp.zeros((N_ukf, T_ukf, 1), jnp.float32)
+    x0_u = jnp.asarray(0.3 * rng.standard_normal((N_ukf, 2)).astype(np.float32))
+    t_u = _device_time_per_call(
+        lambda x0s, ys, us, i: jax.vmap(
+            lambda x0, y, u: ukf_filter(
+                f_pend, h_pend, Q, R, x0, P0, y, u).log_likelihood
+        )(x0s + i * 1e-6, ys, us).sum(),
+        (x0_u, ys_u, us_u), K=32, reps=reps,
+    )
+    _log(
+        f"[ukf]    {N_ukf}-trajectory vmapped UKF T={T_ukf} (pendulum): "
+        f"{t_u*1e3:.2f} ms/batch -> {N_ukf*T_ukf/t_u/1e6:.1f}M updates/s"
+    )
+
     # long-horizon: sequential scan vs associative O(log T)
     T_long = 4096
     ys_long = jnp.asarray(rng.standard_normal((T_long, 1)).astype(np.float32))
