@@ -508,34 +508,21 @@ def _kf_combine(ei: _KFElement, ej: _KFElement) -> _KFElement:
     return _KFElement(A, b, C, eta, J)
 
 
-def kalman_filter_associative(
-    A: jax.Array,
-    C: jax.Array,
-    Q: jax.Array,
-    R: jax.Array,
-    x0: jax.Array,
-    P0: jax.Array,
-    ys: jax.Array,
-    B: Optional[jax.Array] = None,
-    us: Optional[jax.Array] = None,
-) -> KalmanResult:
-    """Parallel-in-time Kalman filter: O(log T) depth associative scan.
+def _kf_u_terms(dt, T, n, B, us):
+    if us is None:
+        return jnp.zeros((T, n), dt)
+    if B is None:
+        raise ValueError("us requires B (the input matrix)")
+    return us @ B.T
 
-    Same outputs as kalman_filter (fp32 tolerance) — the SP analogue of
-    models/lqr.riccati_associative, for long horizons (T >= ~128) or
-    time-sharded execution. Per-step elements are built with vmap, the
-    prefix composition runs as lax.associative_scan, and prediction/
-    log-likelihood are recovered with one trailing vmap.
-    """
-    T, p = ys.shape
+
+def _kf_build_elements(A, C, Q, R, x0, P0, ys, cs):
+    """Per-stage _KFElements for the associative filter: generic elements
+    update against the process-noise prior; the FIRST element absorbs the
+    (x0, P0) prior. Shared by kalman_filter_associative and the
+    horizon-sharded parallel/kalman_sp.py."""
     n = x0.shape[0]
     dt = x0.dtype
-    if us is None:
-        cs = jnp.zeros((T, n), dt)
-    else:
-        if B is None:
-            raise ValueError("us requires B (the input matrix)")
-        cs = us @ B.T
 
     # generic element (k >= 2): update vs the PROCESS noise prior
     S = C @ Q @ C.T + R
@@ -573,8 +560,50 @@ def kalman_filter_associative(
         eta=jnp.zeros((n,), dt),
         J=jnp.zeros((n, n), dt),
     )
-    elems = jax.tree_util.tree_map(
+    return jax.tree_util.tree_map(
         lambda f, e: jnp.concatenate([f[None], e[1:]], axis=0), first, elems)
+
+
+def _kf_predict_ll(A, C, Q, R, x_prev, P_prev, y, c):
+    """One-step prediction + innovation log-density from the filtered
+    previous state (the trailing recovery pass of the associative filter)."""
+    p = y.shape[-1]
+    x_p = A @ x_prev + c
+    P_p = A @ P_prev @ A.T + Q
+    P_p = 0.5 * (P_p + P_p.T)
+    Sk = C @ P_p @ C.T + R
+    Lk = _chol(0.5 * (Sk + Sk.T))
+    v = y - C @ x_p
+    alpha = _trisolve(Lk, v)
+    ll = -0.5 * (alpha @ alpha + p * jnp.log(2.0 * jnp.pi)) - jnp.sum(
+        jnp.log(jnp.diagonal(Lk)))
+    return x_p, P_p, ll
+
+
+def kalman_filter_associative(
+    A: jax.Array,
+    C: jax.Array,
+    Q: jax.Array,
+    R: jax.Array,
+    x0: jax.Array,
+    P0: jax.Array,
+    ys: jax.Array,
+    B: Optional[jax.Array] = None,
+    us: Optional[jax.Array] = None,
+) -> KalmanResult:
+    """Parallel-in-time Kalman filter: O(log T) depth associative scan.
+
+    Same outputs as kalman_filter (fp32 tolerance) — the SP analogue of
+    models/lqr.riccati_associative, for long horizons (T >= ~128) or
+    time-sharded execution. Per-step elements are built with vmap, the
+    prefix composition runs as lax.associative_scan, and prediction/
+    log-likelihood are recovered with one trailing vmap.
+    """
+    T, p = ys.shape
+    n = x0.shape[0]
+    dt = x0.dtype
+    cs = _kf_u_terms(x0.dtype, T, n, B, us)
+    elems = _kf_build_elements(A, C, Q, R, x0, P0, ys, cs)
 
     combined = lax.associative_scan(
         lambda earlier, later: _kf_combine(
@@ -585,20 +614,9 @@ def kalman_filter_associative(
     # predictions + innovation log-likelihood from the filtered sequence
     xs_prev = jnp.concatenate([x0[None], xs_f[:-1]], axis=0)
     Ps_prev = jnp.concatenate([P0[None], Ps_f[:-1]], axis=0)
-
-    def predict_ll(x_prev, P_prev, y, c):
-        x_p = A @ x_prev + c
-        P_p = A @ P_prev @ A.T + Q
-        P_p = 0.5 * (P_p + P_p.T)
-        Sk = C @ P_p @ C.T + R
-        Lk = _chol(0.5 * (Sk + Sk.T))
-        v = y - C @ x_p
-        alpha = _trisolve(Lk, v)
-        ll = -0.5 * (alpha @ alpha + p * jnp.log(2.0 * jnp.pi)) - jnp.sum(
-            jnp.log(jnp.diagonal(Lk)))
-        return x_p, P_p, ll
-
-    xs_p, Ps_p, lls = jax.vmap(predict_ll)(xs_prev, Ps_prev, ys, cs)
+    xs_p, Ps_p, lls = jax.vmap(
+        lambda x_prev, P_prev, y, c: _kf_predict_ll(
+            A, C, Q, R, x_prev, P_prev, y, c))(xs_prev, Ps_prev, ys, cs)
     return KalmanResult(means=xs_f, covs=Ps_f, pred_means=xs_p,
                         pred_covs=Ps_p, log_likelihood=jnp.sum(lls))
 

@@ -11,6 +11,9 @@ from numpower_tpu.parallel.pipeline import rollout_lti_pipelined  # noqa: F401
 from numpower_tpu.parallel.riccati_sp import (  # noqa: F401
     riccati_associative_sharded,
 )
+from numpower_tpu.parallel.kalman_sp import (  # noqa: F401
+    kalman_filter_associative_sharded,
+)
 from numpower_tpu.parallel.distributed import (  # noqa: F401
     initialize, is_multi_host, local_scenario_slice, scaling_report,
 )
