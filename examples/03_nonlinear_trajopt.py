@@ -25,7 +25,7 @@ Q = jnp.diag(jnp.array([1.0, 10.0, 0.1, 0.1]))
 R = jnp.eye(1) * 0.01
 QF = jnp.diag(jnp.array([10.0, 100.0, 1.0, 1.0]))
 res = ilqr_solve(cartpole_step, x0, Q, R, QF, jnp.zeros(4), horizon=60,
-                 iters=30)
+                 iters=30, unroll_scans=True)  # single-scenario latency opt-in
 print(f"iLQR cartpole: cost {float(res.costs[0]):.1f} -> {float(res.cost):.1f}")
 
 # AL-iLQR: pendulum swingup with |u| <= 2 (hard constraint, not a clip)

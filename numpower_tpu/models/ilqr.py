@@ -133,12 +133,14 @@ def ilqr_solve(
     fd_eps: float = 1e-4,
     us_init: Optional[jax.Array] = None,
     alphas: Tuple[float, ...] = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01),
-    unroll_scans: bool = True,
+    unroll_scans: bool = False,
 ) -> ILQRResult:
-    """Full iLQR solve, jit-compatible. vmap over x0 for batched scenarios —
-    but pass unroll_scans=False when vmapping (ilqr_solve_batched does):
-    scan unrolling wins 27% on the single-scenario latency path and
-    REGRESSES batched runs (see _backward_pass)."""
+    """Full iLQR solve, jit-compatible. vmap over x0 for batched scenarios.
+
+    unroll_scans=True is the SINGLE-SCENARIO latency opt-in (27% at
+    h<=64, BASELINE config #3) and REGRESSES batched runs (fused AL-iLQR
+    measured 1.8 -> 6.4 ms) — never set it under vmap. Default False so
+    the advertised vmap-over-x0 pattern is always safe (advisor r3)."""
     m = R.shape[0]
     unroll = horizon if (unroll_scans and horizon <= 64) else 1
     us = (

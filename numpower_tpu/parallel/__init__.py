@@ -17,3 +17,6 @@ from numpower_tpu.parallel.kalman_sp import (  # noqa: F401
 from numpower_tpu.parallel.distributed import (  # noqa: F401
     initialize, is_multi_host, local_scenario_slice, scaling_report,
 )
+from numpower_tpu.parallel.sampling import (  # noqa: F401
+    mppi_solve_dp, particle_filter_dp,
+)

@@ -84,6 +84,12 @@ def kalman_filter_associative_sharded(A, C, Q, R, x0, P0, ys, mesh: Mesh,
     def per_device(eA, eb, eC, eeta, eJ, ys_b, cs_b,
                    A_r, C_r, Q_r, R_r, x0_r, P0_r):
         dev = lax.axis_index(axis)
+        # combine identity rebuilt INSIDE the traced body (cheap trace-time
+        # constants) — closure-capturing the eager `ident` device arrays
+        # would fetch them D2H at lowering time (CLAUDE.md relay rule)
+        ident_l = _KFElement(A=jnp.eye(n, dtype=dt), b=jnp.zeros((n,), dt),
+                             C=jnp.zeros((n, n), dt), eta=jnp.zeros((n,), dt),
+                             J=jnp.zeros((n, n), dt))
 
         # (1) local forward prefix scan over this device's block
         local = lax.associative_scan(
@@ -94,7 +100,7 @@ def kalman_filter_associative_sharded(A, C, Q, R, x0, P0, ys, mesh: Mesh,
 
         # (2) gather block totals; fold EARLIER blocks into prefix P_d
         tots = [lax.all_gather(t, axis) for t in total]   # each (D, ...)
-        Pfx = ident
+        Pfx = ident_l
         for b_i in range(D):                 # static unroll, D is small
             cand = _kf_combine(
                 Pfx, _KFElement(*(t[b_i] for t in tots)))

@@ -82,14 +82,21 @@ def _readback(out):
     return float(leaf.ravel()[0])
 
 
-def time_compiled(fn: Callable, *args, reps: int = 5, inner=(5, 55)) -> float:
+def time_compiled(fn: Callable, *args, reps: int = 5, inner=(5, 55),
+                  return_stats: bool = False):
     """Steady-state seconds-per-call for a jitted fn (slope method: the
     difference between inner[1] and inner[0] pipelined dispatches divided by
-    the count, cancelling the readback RTT)."""
+    the count, cancelling the readback RTT).
+
+    Returns the MEDIAN over reps (the repo-wide convention — CLAUDE.md: the
+    relay drifts 2-5x between processes and injects stalls, so best-of
+    reads are optimistic noise; r3 verdict weak #5). With
+    return_stats=True also returns the IQR so round-over-round deltas are
+    separable from drift."""
     _readback(fn(*args))
     n1, n2 = inner
-    best = float("inf")
-    for _ in range(reps):
+    samples = []
+    for _ in range(max(int(reps), 3)):
         t = time.perf_counter()
         out = None
         for _ in range(n1):
@@ -101,5 +108,9 @@ def time_compiled(fn: Callable, *args, reps: int = 5, inner=(5, 55)) -> float:
             out = fn(*args)
         _readback(out)
         t2 = time.perf_counter() - t
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return max(best, 1e-12)
+        samples.append(max((t2 - t1) / (n2 - n1), 1e-12))
+    med = float(np.median(samples))
+    if return_stats:
+        q25, q75 = np.percentile(samples, [25, 75])
+        return med, float(q75 - q25)
+    return med
