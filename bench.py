@@ -139,10 +139,13 @@ def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
     # comfortably above the relay's ±few-ms RTT jitter. K=64 measured a
     # 28 us IQR on a 50 us quantity (BENCH_r02-era noise); K=512 gets the
     # IQR down to ~6 us.
+    rows = {}
     K_flag = 32 if scenarios <= 512 else 512
     per_batch, iqr_f = _device_time_per_call(
         body, (qp, x0s), K=K_flag, reps=reps, return_stats=True)
     solves_per_sec = scenarios / per_batch
+    rows["fista_flagship_us_per_batch"] = (per_batch * 1e6, "us")
+    rows["fista_flagship_solves_per_sec"] = (solves_per_sec, "solves/s")
     _log(
         f"[flagship] quadrotor h={horizon} N={scenarios} iters={iters} (FISTA): "
         f"{per_batch*1e6:.1f} us/batch median (IQR {iqr_f*1e6:.1f} us) "
@@ -156,9 +159,10 @@ def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
 
     d = qp.H.shape[0]
     peak = peak_tflops()
-    _log(mfu_report(f"FISTA N={scenarios} d={d}",
-                    fista_mpc_cost(scenarios, n, d, iters, ci),
-                    per_batch, peak))
+    cost_f = fista_mpc_cost(scenarios, n, d, iters, ci)
+    _log(mfu_report(f"FISTA N={scenarios} d={d}", cost_f, per_batch, peak))
+    if peak:
+        rows["fista_mfu"] = (cost_f.mfu(per_batch, peak), "fraction")
 
     # same QP via fused ADMM (exact-solve splitting; converges tighter at the
     # same iteration count — both solvers hit the same optimum within 1e-4,
@@ -172,14 +176,17 @@ def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
     per_admm, iqr_a = _device_time_per_call(
         body_admm, (qp, x0s), K=K_flag, reps=reps, return_stats=True)
     admm_per_sec = scenarios / per_admm
+    rows["admm_flagship_us_per_batch"] = (per_admm * 1e6, "us")
+    rows["admm_flagship_solves_per_sec"] = (admm_per_sec, "solves/s")
     _log(
         f"[flagship] quadrotor h={horizon} N={scenarios} iters={iters} (ADMM):  "
         f"{per_admm*1e6:.1f} us/batch median (IQR {iqr_a*1e6:.1f} us) "
         f"-> {admm_per_sec:,.0f} solves/s/chip"
     )
-    _log(mfu_report(f"ADMM  N={scenarios} d={d}",
-                    admm_mpc_cost(scenarios, n, d, iters, ai),
-                    per_admm, peak))
+    cost_a = admm_mpc_cost(scenarios, n, d, iters, ai)
+    _log(mfu_report(f"ADMM  N={scenarios} d={d}", cost_a, per_admm, peak))
+    if peak:
+        rows["admm_mfu"] = (cost_a.mfu(per_admm, peak), "fraction")
     if admm_per_sec > solves_per_sec:
         solves_per_sec, per_batch = admm_per_sec, per_admm
 
@@ -189,6 +196,7 @@ def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
                                coarse_iters=ci).U[0, 0]
 
     per_small = _device_time_per_call(body_small, (qp, x0s), K=256, reps=reps)
+    rows["latency_256batch_us"] = (per_small * 1e6, "us")
     if per_small <= 2e-8:
         _log("[latency]  256-scenario batch device time below the relay "
              "noise floor (<0.02 us measured; budget 10 ms)")
@@ -197,7 +205,7 @@ def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
             f"[latency]  256-scenario batch device time ~{per_small*1e6:.1f} us "
             f"(budget 10 ms; excludes host link RTT)"
         )
-    return solves_per_sec, per_batch * 1e3
+    return solves_per_sec, per_batch * 1e3, rows
 
 
 def bench_lqr(horizon: int, reps: int) -> dict:
@@ -213,12 +221,14 @@ def bench_lqr(horizon: int, reps: int) -> dict:
     R = np.eye(1, dtype=np.float32) * 0.1
     QF = np.eye(2, dtype=np.float32) * 100.0
 
+    rows = {}
     x0 = jnp.array([1.0, 0.0])
     t1 = _device_time_per_call(
         lambda x0, i: lqr_solve(A, B, Q, R, QF, x0 + i * 1e-6, horizon)[0][0, 0],
         (x0,), K=256, reps=reps,
     )
     _log(f"[config1] double-integrator LQR h={horizon}: {t1*1e6:.1f} us/solve device")
+    rows["config1_lqr_us"] = (t1 * 1e6, "us")
 
     x0s = jnp.asarray(np.random.default_rng(1).standard_normal((256, 2)), jnp.float32)
     t2 = _device_time_per_call(
@@ -229,6 +239,7 @@ def bench_lqr(horizon: int, reps: int) -> dict:
         f"[config2] 256-scenario LTI Riccati h={horizon}: "
         f"{t2*1e6:.1f} us/batch -> {256/t2:,.0f} solves/s"
     )
+    rows["config2_riccati_solves_per_sec"] = (256 / t2, "solves/s")
 
     # config #2b: per-scenario dynamics (the batched-small-cholesky path,
     # Pallas kernel on TPU)
@@ -261,6 +272,7 @@ def bench_lqr(horizon: int, reps: int) -> dict:
 
     _log(roofline_report(f"fused Riccati N={N} h={horizon}",
                          riccati_fused_cost(N, horizon, 12, 4), t2b))
+    rows["config2b_fused_riccati_solves_per_sec"] = (N / t2b, "solves/s")
 
     # long-horizon parallel-in-time Riccati (the SP engine's in-device
     # primitive): sequential scan vs associative O(log T) at flagship dims
@@ -287,6 +299,9 @@ def bench_lqr(horizon: int, reps: int) -> dict:
 
     _log(roofline_report(f"assoc Riccati T={T_long} n=12",
                          riccati_associative_cost(T_long, 12), t_ra))
+    rows["riccati_assoc_ms"] = (t_ra * 1e3, "ms")
+    rows["riccati_assoc_speedup"] = (t_rs / t_ra, "x")
+    return rows
 
 
 def bench_ilqr(reps: int):
@@ -310,6 +325,7 @@ def bench_ilqr(reps: int):
         (x0,), K=32, reps=max(2, reps // 2),
     )
     _log(f"[config3] cartpole iLQR (fd, 10 iters, h=50): {t*1e3:.2f} ms/solve device")
+    rows = {"config3_ilqr_ms": (t * 1e3, "ms")}
 
     # batched scenarios (the TPU-native way to run config #3 at scale)
     x0s = jnp.asarray(
@@ -331,6 +347,7 @@ def bench_ilqr(reps: int):
         f"[config3b] 256-scenario batched iLQR ({backend} backward): "
         f"{t*1e3:.2f} ms/batch -> {256/t:,.0f} iLQR solves/s"
     )
+    rows["config3b_batched_ilqr_solves_per_sec"] = (256 / t, "solves/s")
 
     # standalone fused-backward kernel timing + roofline (r3 verdict weak
     # #2: every fast path carries a utilization figure)
@@ -359,6 +376,8 @@ def bench_ilqr(reps: int):
     _log(f"[ilqr-bw] fused backward N={Nb} T={Tb}: {t_bw*1e3:.3f} ms/batch")
     _log(roofline_report(f"fused iLQR backward N={Nb} T={Tb}",
                          ilqr_backward_cost(Nb, Tb, 4, 1), t_bw))
+    rows["ilqr_backward_fused_ms"] = (t_bw * 1e3, "ms")
+    return rows
 
 
 def bench_solvers_extra(scenarios: int, horizon: int, iters: int, reps: int):
@@ -396,6 +415,7 @@ def bench_solvers_extra(scenarios: int, horizon: int, iters: int, reps: int):
         f"[admm]  quadrotor h={horizon} N={scenarios} iters={iters}: "
         f"{t*1e6:.1f} us/batch -> {scenarios/t:,.0f} solves/s/chip"
     )
+    rows = {"solvers_admm_solves_per_sec": (scenarios / t, "solves/s")}
 
     # AL-iLQR: constrained nonlinear swingup, batched scenarios
     N_al = max(1, min(scenarios // 16, 256))
@@ -417,6 +437,7 @@ def bench_solvers_extra(scenarios: int, horizon: int, iters: int, reps: int):
         f"[al-ilqr] {N_al}-scenario pendulum (h=40, 4x6 iters, box +-2, "
         f"{backend} backward): {t*1e3:.2f} ms/batch -> {N_al/t:,.0f} solves/s"
     )
+    rows["al_ilqr_solves_per_sec"] = (N_al / t, "solves/s")
 
     # MPPI: N scenarios x K samples fused rollouts
     N_mp, K_mp = max(1, min(scenarios // 16, 256)), 256
@@ -435,6 +456,8 @@ def bench_solvers_extra(scenarios: int, horizon: int, iters: int, reps: int):
         f"{t*1e3:.2f} ms/batch -> {N_mp/t:,.0f} solves/s "
         f"({rollouts/t/1e6:.1f} M rollouts/s)"
     )
+    rows["mppi_rollouts_per_sec"] = (rollouts / t, "rollouts/s")
+    return rows
 
 
 def bench_estimation(scenarios: int, reps: int):
@@ -477,6 +500,7 @@ def bench_estimation(scenarios: int, reps: int):
 
     _log(roofline_report(f"batched KF N={N} T={T}",
                          kalman_batched_cost(N, T, 2, 1), t))
+    rows = {"kalman_batched_updates_per_sec": (N * T / t, "updates/s")}
 
     # particle filter: batched nonlinear SMC throughput (plant evals/s is
     # the cost driver: N_traj x n_particles x T pendulum steps per call)
@@ -503,6 +527,7 @@ def bench_estimation(scenarios: int, reps: int):
     )
     _log(roofline_report(f"particle filter {N_pf}x{P_pf} T={T_pf}",
                          particle_filter_cost(N_pf, P_pf, T_pf, 2, 1), t))
+    rows["pf_particle_steps_per_sec"] = (N_pf * P_pf * T_pf / t, "steps/s")
 
     # vmapped UKF (nonlinear estimator lineup; the per-step sigma-point
     # cholesky goes through the unrolled recurrence — BASELINE 5.8x note)
@@ -531,6 +556,7 @@ def bench_estimation(scenarios: int, reps: int):
         f"[ukf]    {N_ukf}-trajectory vmapped UKF T={T_ukf} (pendulum): "
         f"{t_u*1e3:.2f} ms/batch -> {N_ukf*T_ukf/t_u/1e6:.1f}M updates/s"
     )
+    rows["ukf_updates_per_sec"] = (N_ukf * T_ukf / t_u, "updates/s")
 
     # long-horizon: sequential scan vs associative O(log T)
     T_long = 4096
@@ -554,6 +580,9 @@ def bench_estimation(scenarios: int, reps: int):
     )
     _log(roofline_report(f"assoc KF T={T_long} n=2",
                          kalman_associative_cost(T_long, 2), t_par))
+    rows["kalman_assoc_ms"] = (t_par * 1e3, "ms")
+    rows["kalman_assoc_speedup"] = (t_seq / t_par, "x")
+    return rows
 
 
 def bench_tube(scenarios: int, reps: int):
@@ -582,6 +611,7 @@ def bench_tube(scenarios: int, reps: int):
         f"[config5] tube-MPC sweep N={scenarios}: {t*1e3:.3f} ms/sweep device "
         f"-> {scenarios/t:,.0f} scenario-rollouts/s"
     )
+    rows = {"tube_sweep_rollouts_per_sec": (scenarios / t, "rollouts/s")}
 
     # Host-fed variant: the C++ ScenarioStream generates each sweep's
     # disturbance batch in worker threads (double-buffered ring) while the
@@ -612,6 +642,7 @@ def bench_tube(scenarios: int, reps: int):
             f"end-to-end ({mb/dt/1e3:.2f} GB/s host->device; through the "
             f"remote relay this is link-bound, not stream-bound)"
         )
+    return rows
 
 
 def bench_ab_admm(scenarios: int, horizon: int, iters: int, reps: int):
@@ -762,6 +793,7 @@ def bench_serving(scenarios: int, horizon: int, reps: int):
         f"(IQR {(q75-q25)*1e6:.1f} us) -> {scenarios/per_tick:,.0f} "
         f"control updates/s"
     )
+    rows = {"serving_fista_tick_us": (per_tick * 1e6, "us")}
 
     # ADMM serving tick (the faster solver family; warm-started z iterate)
     ctrl_a = MPCController(
@@ -800,6 +832,8 @@ def bench_serving(scenarios: int, horizon: int, reps: int):
         f"{med_a*1e6:.1f} us/tick median (IQR {(q75a-q25a)*1e6:.1f} us) -> "
         f"{scenarios/med_a:,.0f} control updates/s"
     )
+    rows["serving_admm_tick_us"] = (med_a * 1e6, "us")
+    return rows
 
 
 def bench_shardmap_overhead(scenarios: int, horizon: int, iters: int, reps: int):
@@ -1137,12 +1171,21 @@ def run_verify(scenarios: int, horizon: int) -> bool:
         from numpower_tpu.utils.smallmat import lu_solve_unrolled, solve_small
 
         nn = 12
-        a = jnp.asarray(rng.standard_normal((256, nn, nn)).astype(np.float32)
-                        + 2 * np.eye(nn, dtype=np.float32))
+        # diagonally-dominant batch: a raw standard_normal + 2I batch of
+        # 256 includes near-singular draws where ANY fp32 LU diverges
+        # from fp64 — dominance keeps every kappa small so the check
+        # isolates the kernel, not the conditioning
+        a = jnp.asarray(
+            0.3 * rng.standard_normal((256, nn, nn)).astype(np.float32)
+            + 4 * np.eye(nn, dtype=np.float32))
         b = jnp.asarray(rng.standard_normal((256, nn, 4)).astype(np.float32))
         X = jax.jit(lu_solve_unrolled)(a, b)
-        d1 = float(jnp.max(jnp.abs(X - jnp.linalg.solve(a, b))))
-        assert d1 < 1e-3, f"well-conditioned batch vs XLA LU: {d1:.2e}"
+        scale = float(jnp.max(jnp.abs(X))) + 1.0
+        d1 = float(jnp.max(jnp.abs(X - jnp.linalg.solve(a, b)))) / scale
+        res = float(jnp.max(jnp.abs(
+            jnp.einsum("nij,njk->nik", a, X) - b)))
+        assert d1 < 1e-4 and res < 1e-3, \
+            f"batch vs XLA LU rel {d1:.2e}, residual {res:.2e}"
         # permutation-requiring: cyclic permutation matrix (zero leading
         # pivot at every step — only real pivoting survives)
         Pm = np.zeros((nn, nn), np.float32)
@@ -1331,7 +1374,7 @@ def run_verify(scenarios: int, horizon: int) -> bool:
 
     n_pass = sum(ok for _, ok in results)
     _log(f"[verify] {n_pass}/{len(results)} checks passed ({mode})")
-    return n_pass == len(results)
+    return n_pass == len(results), dict(results)
 
 
 def main():
@@ -1346,6 +1389,10 @@ def main():
     ap.add_argument("--verify", action="store_true",
                     help="on-TPU verification pass (compiled kernels, "
                          "sharded solvers, jit(eig), no-retrace) — no timing")
+    ap.add_argument("--skip-certify", action="store_true",
+                    help="flagship only: skip the default certification "
+                         "pass (all sections + verify folded into the "
+                         "final JSON)")
     ap.add_argument("--scenarios", type=int, default=None)
     ap.add_argument("--horizon", type=int, default=30)
     ap.add_argument("--iters", type=int, default=40)
@@ -1371,7 +1418,7 @@ def main():
     _log(f"D2H channel warm in {time.perf_counter()-t0:.1f}s")
 
     if args.verify:
-        ok = run_verify(scenarios if args.quick else 1024, args.horizon)
+        ok, _ = run_verify(scenarios if args.quick else 1024, args.horizon)
         print(json.dumps({
             "metric": "on_tpu_verify_pass",
             "value": 1.0 if ok else 0.0,
@@ -1380,15 +1427,58 @@ def main():
         }))
         sys.exit(0 if ok else 1)
 
-    solves_per_sec, p50 = bench_flagship(scenarios, args.horizon, args.iters, reps)
+    solves_per_sec, p50, all_rows = bench_flagship(
+        scenarios, args.horizon, args.iters, reps)
 
-    if args.full:
+    # Certification pass (r3 verdict next-round #1): the driver's plain
+    # `python bench.py` must capture the WHOLE round — every table row
+    # BASELINE.md claims plus the verify verdicts land in the final JSON,
+    # so no number is builder-session-only. Sections are fault-isolated:
+    # one relay stall cannot zero the capture. --skip-certify restores
+    # the flagship-only run; --quick keeps CPU smoke fast unless --full.
+    verify_info = None
+    run_sections = (not args.skip_certify) and (not args.quick or args.full)
+    if run_sections:
+        certify_reps = min(reps, 5)
+        sections = [
+            ("lqr", lambda: bench_lqr(args.horizon, certify_reps)),
+            ("ilqr", lambda: bench_ilqr(certify_reps)),
+            ("tube", lambda: bench_tube(
+                min(scenarios * 4, 16384) if not args.quick else 512,
+                certify_reps)),
+            ("serving", lambda: bench_serving(
+                scenarios, args.horizon, certify_reps)),
+            ("solvers_extra", lambda: bench_solvers_extra(
+                scenarios, args.horizon, args.iters, certify_reps)),
+            ("estimation", lambda: bench_estimation(scenarios, certify_reps)),
+        ]
+        for name, fn in sections:
+            t0 = time.perf_counter()
+            try:
+                all_rows.update(fn() or {})
+            except Exception as e:  # noqa: BLE001 — capture, don't crash
+                _log(f"[certify] SECTION FAILED {name}: "
+                     f"{type(e).__name__}: {e}")
+                all_rows[f"{name}_failed"] = (0.0, "error")
+            _log(f"[certify] section {name} done in "
+                 f"{time.perf_counter()-t0:.0f}s")
+        try:
+            ok, checks = run_verify(1024 if not args.quick else scenarios,
+                                    args.horizon)
+            verify_info = {"pass": ok, "checks": checks}
+        except Exception as e:  # noqa: BLE001
+            _log(f"[certify] VERIFY PASS CRASHED: {type(e).__name__}: {e}")
+            verify_info = {"pass": False, "checks": {}}
+
+    if args.full and not run_sections:
         bench_lqr(args.horizon, reps)
         bench_ilqr(reps)
         bench_tube(min(scenarios * 4, 16384) if not args.quick else 512, reps)
         bench_serving(scenarios, args.horizon, reps)
         bench_solvers_extra(scenarios, args.horizon, args.iters, reps)
         bench_estimation(scenarios, reps)
+
+    if args.full:
         bench_shardmap_overhead(scenarios, args.horizon, args.iters, reps)
 
     if args.scaling:
@@ -1401,16 +1491,21 @@ def main():
         bench_micro(reps)
 
     target = 10_000.0  # BASELINE north star: solves/s/chip
-    print(
-        json.dumps(
-            {
-                "metric": "mpc_solves_per_sec_per_chip",
-                "value": round(solves_per_sec, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_sec / target, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "mpc_solves_per_sec_per_chip",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / target, 3),
+    }
+    if all_rows:
+        out["rows"] = {
+            k: {"value": round(float(v), 3), "unit": u}
+            for k, (v, u) in all_rows.items()
+        }
+    if verify_info is not None:
+        out["verify_pass"] = bool(verify_info["pass"])
+        out["verify"] = verify_info["checks"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -255,7 +255,8 @@ def _admm_g_kernel(rminvT_ref, x0_ref, w_ref, params_ref, z0_ref,
 def _admm_g_res_kernel(rminvT_ref, x0_ref, wc_ref, params_ref,
                        z0_ref, out_ref, rp_ref, rd_ref, *, iters: int,
                        coarse_iters: int, d: int, n_real: int, tile_n: int,
-                       tail_precision: str = "bf16x3", form: str = "s"):
+                       tail_precision: str = "bf16x3", form: str = "s",
+                       c_precision: str = "highest"):
     """_admm_g_kernel variant with BOTH residuals fused in. Here c = Minv g
     comes straight from the FULLY-folded chain c = x0 @ Wc with
     Wc = Sx' (Su'Q)' Minv' formed once on the host — g is never
@@ -268,8 +269,10 @@ def _admm_g_res_kernel(rminvT_ref, x0_ref, wc_ref, params_ref,
     lo = params_ref[1]
     hi = params_ref[2]
     alpha = params_ref[3]
-    c = jnp.dot(x0_ref[:], wc_ref[:], precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+    # c formation: HIGHEST by default (iteration-invariant, so its error
+    # persists); "bf16x3" shaves ~3 nominal MXU passes at ~1e-5 accuracy
+    # (r3 verdict #7 headroom A/B — scripts/admm_breakdown.py)
+    c = make_tail_dot(wc_ref[:], c_precision)(x0_ref[:])
     rminvT = rminvT_ref[:]
     tail_dot = make_tail_dot(rminvT, tail_precision)
     loop = _s_loop if form == "s" else _zy_loop
@@ -301,7 +304,8 @@ def _admm_g_res_kernel(rminvT_ref, x0_ref, wc_ref, params_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "coarse_iters", "tile_n", "interpret", "form"),
+    static_argnames=("iters", "coarse_iters", "tile_n", "interpret", "form",
+                     "c_precision"),
 )
 def admm_mpc_pallas_res(
     H: jax.Array,        # (d, d)
@@ -319,6 +323,7 @@ def admm_mpc_pallas_res(
     Minv: Optional[jax.Array] = None,
     U0: Optional[jax.Array] = None,
     form: str = "s",
+    c_precision: str = "highest",
 ):
     """admm_mpc_pallas with residuals FUSED into the kernel: returns
     (z (N, d), r_primal scalar, r_dual scalar). Per tile the only HBM
@@ -361,7 +366,7 @@ def admm_mpc_pallas_res(
     kernel = functools.partial(
         _admm_g_res_kernel, iters=iters,
         coarse_iters=min(coarse_iters, iters), d=d, n_real=N, tile_n=tile_n,
-        form=form,
+        form=form, c_precision=c_precision,
     )
     z, rp, rd = pl.pallas_call(
         kernel,

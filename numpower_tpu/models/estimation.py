@@ -484,14 +484,21 @@ def _mv(M, v):
 from numpower_tpu.utils.smallmat import solve_small as _solve_small
 
 
-def _kf_combine(ei: _KFElement, ej: _KFElement) -> _KFElement:
-    """Combine earlier element i with later element j (associative)."""
+def _kf_combine(ei: _KFElement, ej: _KFElement,
+                solve=None) -> _KFElement:
+    """Combine earlier element i with later element j (associative).
+
+    solve: denominator solver (default utils/smallmat.solve_small);
+    lu_solve_nopivot is valid here too — both denominators I + C_i J_j
+    and I + J_j C_i have PSD factors, so eigenvalues stay >= 1."""
+    if solve is None:
+        solve = _solve_small
     n = ei.A.shape[-1]
     I = jnp.eye(n, dtype=ei.A.dtype)
     # denom = I + C_i J_j; one solve reused for the A/b/C updates
     rhs = jnp.concatenate(
         [ei.A, ei.C, (ei.b + _mv(ei.C, ej.eta))[..., None]], axis=-1)
-    M = _solve_small(I + ei.C @ ej.J, rhs)
+    M = solve(I + ei.C @ ej.J, rhs)
     MA, MC, Mb = M[..., :n], M[..., n:2 * n], M[..., 2 * n]
     A = ej.A @ MA
     b = _mv(ej.A, Mb) + ej.b
@@ -499,7 +506,7 @@ def _kf_combine(ei: _KFElement, ej: _KFElement) -> _KFElement:
     # (I + J_j C_i)^{-1} applied to [eta_j - J_j b_i, J_j A_i]
     rhs2 = jnp.concatenate(
         [(ej.eta - _mv(ej.J, ei.b))[..., None], ej.J @ ei.A], axis=-1)
-    M2 = _solve_small(I + ej.J @ ei.C, rhs2)
+    M2 = solve(I + ej.J @ ei.C, rhs2)
     AiT = ei.A.swapaxes(-1, -2)
     eta = _mv(AiT, M2[..., 0]) + ei.eta
     J = AiT @ M2[..., 1:] + ei.J
@@ -590,6 +597,7 @@ def kalman_filter_associative(
     ys: jax.Array,
     B: Optional[jax.Array] = None,
     us: Optional[jax.Array] = None,
+    nopivot: bool = False,
 ) -> KalmanResult:
     """Parallel-in-time Kalman filter: O(log T) depth associative scan.
 
@@ -598,6 +606,10 @@ def kalman_filter_associative(
     time-sharded execution. Per-step elements are built with vmap, the
     prefix composition runs as lax.associative_scan, and prediction/
     log-likelihood are recovered with one trailing vmap.
+
+    nopivot: route combine denominators through the unpivoted unrolled
+    LU (fusion-friendly; see riccati_associative) — opt-in pending the
+    on-TPU A/B.
     """
     T, p = ys.shape
     n = x0.shape[0]
@@ -605,9 +617,14 @@ def kalman_filter_associative(
     cs = _kf_u_terms(x0.dtype, T, n, B, us)
     elems = _kf_build_elements(A, C, Q, R, x0, P0, ys, cs)
 
+    solve = None
+    if nopivot:
+        from numpower_tpu.utils.smallmat import lu_solve_nopivot as solve
+
     combined = lax.associative_scan(
         lambda earlier, later: _kf_combine(
-            _KFElement(*earlier), _KFElement(*later)), tuple(elems), axis=0)
+            _KFElement(*earlier), _KFElement(*later), solve=solve),
+        tuple(elems), axis=0)
     xs_f = combined[1]   # b of the prefix = filtered means
     Ps_f = combined[2]   # C of the prefix = filtered covariances
 

@@ -69,19 +69,25 @@ class _RiccatiElement(NamedTuple):
     J: jax.Array
 
 
-def _combine(ei: _RiccatiElement, ej: _RiccatiElement) -> _RiccatiElement:
+def _combine(ei: _RiccatiElement, ej: _RiccatiElement,
+             solve=None) -> _RiccatiElement:
     """Associative combine of element i (earlier stage) with element j
     (later stage block). Parallel-LQR combine rule (regulation case of the
-    parallel LQT/dynamic-programming elements)."""
+    parallel LQT/dynamic-programming elements).
+
+    solve: small-matrix solver for the (I + C_i J_j) denominator; default
+    is the implicit-pivot unrolled LU (utils/smallmat.solve_small — XLA's
+    batched LU runs per-matrix pivot loops and made the associative scan
+    no faster than the sequential recursion at n=12: 29.1 vs 29.3 ms,
+    T=4096, v5e 2026-08-21). Pass lu_solve_nopivot for the fusion-friendly
+    unpivoted form — valid here because C, J are PSD so I + CJ has
+    eigenvalues >= 1."""
     n = ei.F.shape[-1]
     I = jnp.eye(n, dtype=ei.F.dtype)
-    # (I + C_i J_j)^{-1} applied from the left. solve_small: XLA's batched
-    # LU runs per-matrix pivot loops and made the associative scan no
-    # faster than the sequential recursion at n=12 (measured 29.1 vs
-    # 29.3 ms, T=4096, v5e 2026-08-21 — see utils/smallmat.py).
-    from numpower_tpu.utils.smallmat import solve_small
+    if solve is None:
+        from numpower_tpu.utils.smallmat import solve_small as solve
 
-    M = solve_small(I + ei.C @ ej.J, jnp.concatenate([ei.F, ei.C], axis=-1))
+    M = solve(I + ei.C @ ej.J, jnp.concatenate([ei.F, ei.C], axis=-1))
     MF, MC = M[..., :n], M[..., n:]
     F = ej.F @ MF
     C = ej.F @ MC @ ej.F.swapaxes(-1, -2) + ej.C
@@ -92,14 +98,24 @@ def _combine(ei: _RiccatiElement, ej: _RiccatiElement) -> _RiccatiElement:
     return _RiccatiElement(F, C, J)
 
 
-def riccati_associative(A, B, Q, R, QF, horizon: int):
+def riccati_associative(A, B, Q, R, QF, horizon: int,
+                        nopivot: bool = False):
     """Parallel-in-time Riccati: O(log T) depth associative scan.
 
     Produces the same (Ks, Ps) as riccati_scan (fp32 tolerance). Useful when
     the horizon is long (T >= 128) or when horizon stages are sharded across
     devices; for T~30 the sequential scan is typically faster.
+
+    nopivot=True routes the combine denominators through the unpivoted
+    unrolled LU (utils/smallmat.lu_solve_nopivot — every elimination op
+    fuses; the pivoted form's masked argmax breaks fusion per column).
+    Safe for this algebra (I + CJ, C/J PSD); kept opt-in pending the
+    on-TPU A/B.
     """
     n = A.shape[-1]
+    solve = None
+    if nopivot:
+        from numpower_tpu.utils.smallmat import lu_solve_nopivot as solve
     # Stage element: F=A, C=B R^{-1} B', J=Q. Terminal element: (0, 0, QF).
     C_stage = B @ _psd_solve(R, B.T)
     Fs = jnp.broadcast_to(A, (horizon, n, n))
@@ -118,6 +134,7 @@ def riccati_associative(A, B, Q, R, QF, horizon: int):
         lambda later, earlier: _combine(
             _RiccatiElement(earlier[0], earlier[1], earlier[2]),
             _RiccatiElement(later[0], later[1], later[2]),
+            solve=solve,
         ),
         tuple(elems),
         reverse=True,

@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = ["cholesky_unrolled", "psd_solve_unrolled", "solve_small",
-           "lu_solve_unrolled", "tri_solve_unrolled"]
+           "lu_solve_unrolled", "lu_solve_nopivot", "tri_solve_unrolled"]
 
 
 def cholesky_unrolled(M):
@@ -187,6 +187,39 @@ def lu_solve_unrolled(M, rhs):
         x.append(prow[..., n:] / prow[..., k][..., None])
     out = jnp.stack(x, axis=-2)
     return out[..., 0] if vec else out
+
+
+def lu_solve_nopivot(M, rhs):
+    """Solve M X = rhs WITHOUT pivoting: pure unrolled Gauss-Jordan —
+    every generated op is elementwise over the batch dims (no argmax, no
+    masked selects, no gathers), so XLA fuses the whole elimination into
+    a handful of loops where the pivoted form's per-column masked argmax
+    breaks fusion ~6x per column.
+
+    ONLY for matrices known a priori to have stable unpivoted
+    elimination: the associative-combine denominators I + C J with C, J
+    PSD (eigenvalues of CJ are >= 0, diagonal stays >= 1 throughout) are
+    the intended use. A zero/small leading pivot (e.g. permutation-like
+    M) silently produces inf/NaN — use lu_solve_unrolled there. Accuracy
+    on the combine algebra measured within ~2x of the pivoted form
+    (tests/test_smallmat.py::test_lu_nopivot_on_combine_algebra)."""
+    n = M.shape[-1]
+    vec = rhs.ndim == M.ndim - 1
+    if vec:
+        rhs = rhs[..., None]
+    W = jnp.concatenate([M, rhs], axis=-1)          # (..., n, n + r)
+    for k in range(n):
+        pivot_row = W[..., k, :]                     # (..., n + r)
+        inv_p = 1.0 / pivot_row[..., k]
+        factors = W[..., :, k] * inv_p[..., None]    # (..., n)
+        mask = jnp.arange(n) != k
+        W = jnp.where(
+            mask[..., None],
+            W - factors[..., None] * pivot_row[..., None, :],
+            W)
+    x = W[..., :, n:] / W[..., :, :n].diagonal(
+        axis1=-2, axis2=-1)[..., None]
+    return x[..., 0] if vec else x
 
 
 def solve_small(M, rhs):

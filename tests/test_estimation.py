@@ -637,3 +637,26 @@ def test_sqrt_kalman_and_pf_accept_psd_singular_noise():
                          n_particles=512)
     assert np.all(np.isfinite(np.asarray(pf.means)))
     assert np.isfinite(float(pf.log_likelihood))
+
+
+def test_kalman_associative_nopivot_matches():
+    """nopivot combine solver parity on a 4-state system (n > 3 so the
+    unrolled LU actually runs; the n<=3 bench case uses the adjugate)."""
+    from numpower_tpu.models import kalman_filter, kalman_filter_associative
+
+    rng = np.random.default_rng(8)
+    n, p, T = 4, 2, 64
+    A = jnp.asarray(np.eye(n, dtype=np.float32)
+                    + 0.05 * rng.standard_normal((n, n)).astype(np.float32))
+    C = jnp.asarray(rng.standard_normal((p, n)).astype(np.float32))
+    Q = jnp.eye(n) * 1e-3
+    R = jnp.eye(p) * 1e-2
+    x0 = jnp.zeros(n)
+    P0 = jnp.eye(n) * 0.1
+    ys = jnp.asarray(rng.standard_normal((T, p)).astype(np.float32))
+    seq = kalman_filter(A, C, Q, R, x0, P0, ys)
+    par = kalman_filter_associative(A, C, Q, R, x0, P0, ys, nopivot=True)
+    np.testing.assert_allclose(np.asarray(par.means), np.asarray(seq.means),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(par.log_likelihood),
+                               float(seq.log_likelihood), rtol=1e-4)

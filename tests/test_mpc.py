@@ -358,3 +358,16 @@ def test_lqt_zero_reference_equals_lqr(di):
     us_r, _ = lqr_solve(A, B, Q, R, QF, x0, 20)
     np.testing.assert_allclose(np.asarray(us_t), np.asarray(us_r),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_riccati_associative_nopivot_matches(quad):
+    """The fusion-friendly unpivoted combine solver must match the pivoted
+    default on the quadrotor dims (PSD algebra keeps pivots >= 1)."""
+    A, B = quad
+    Q = jnp.eye(12); R = jnp.eye(4) * 0.1; QF = jnp.eye(12) * 5.0
+    Ks_pv, Ps_pv = riccati_associative(A, B, Q, R, QF, 64)
+    Ks_np, Ps_np = riccati_associative(A, B, Q, R, QF, 64, nopivot=True)
+    np.testing.assert_allclose(np.asarray(Ks_np), np.asarray(Ks_pv),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Ps_np), np.asarray(Ps_pv),
+                               rtol=1e-3, atol=1e-3)

@@ -194,3 +194,46 @@ def test_solve_small_vector_rhs_all_regimes():
         assert x.shape == (6, n), f"n={n}: shape {x.shape}"
         ref = np.linalg.solve(M, v[..., None])[..., 0]
         np.testing.assert_allclose(x, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_lu_nopivot_on_combine_algebra():
+    """lu_solve_nopivot is specified ONLY for the associative-combine
+    denominators I + C J (C, J PSD): verify it against fp64 and the
+    pivoted form on exactly that algebra at the quadrotor dims."""
+    from numpower_tpu.utils.smallmat import lu_solve_nopivot
+
+    rng = np.random.default_rng(3)
+    n, B = 12, 64
+    a = rng.standard_normal((B, n, n))
+    b_ = rng.standard_normal((B, n, n))
+    C = a @ np.swapaxes(a, -1, -2) * 0.1
+    J = b_ @ np.swapaxes(b_, -1, -2) * 0.1
+    M = np.eye(n) + C @ J
+    rhs = rng.standard_normal((B, n, 2 * n))
+    x64 = np.linalg.solve(M, rhs)
+    x_np = np.asarray(lu_solve_nopivot(jnp.asarray(M, jnp.float32),
+                                       jnp.asarray(rhs, jnp.float32)),
+                      np.float64)
+    x_pv = np.asarray(lu_solve_unrolled(jnp.asarray(M, jnp.float32),
+                                        jnp.asarray(rhs, jnp.float32)),
+                      np.float64)
+    scale = np.max(np.abs(x64))
+    rel_np = np.max(np.abs(x_np - x64)) / scale
+    rel_pv = np.max(np.abs(x_pv - x64)) / scale
+    assert rel_np < 1e-4, f"nopivot rel err {rel_np:.2e}"
+    # within ~4x of the pivoted form on the supported algebra
+    assert rel_np < 4 * max(rel_pv, 1e-7), (rel_np, rel_pv)
+
+
+def test_lu_nopivot_vector_rhs():
+    from numpower_tpu.utils.smallmat import lu_solve_nopivot
+
+    rng = np.random.default_rng(9)
+    n = 6
+    M = np.eye(n) + 0.2 * rng.standard_normal((4, n, n))
+    v = rng.standard_normal((4, n)).astype(np.float32)
+    x = np.asarray(lu_solve_nopivot(jnp.asarray(M, jnp.float32),
+                                    jnp.asarray(v)))
+    assert x.shape == (4, n)
+    ref = np.linalg.solve(M, v[..., None].astype(np.float64))[..., 0]
+    np.testing.assert_allclose(x, ref, rtol=1e-3, atol=1e-4)
