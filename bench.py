@@ -894,6 +894,8 @@ def bench_shardmap_overhead(scenarios: int, horizon: int, iters: int, reps: int)
         f"{t_sharded*1e6:.1f} us -> overhead {100*(t_sharded/t_direct-1):+.1f}% "
         f"(median of 3 interleaved pairs, K={K})"
     )
+    return {"shardmap_overhead_pct": (100 * (t_sharded / t_direct - 1),
+                                      "%")}
 
 
 def bench_scaling(scenarios: int, reps: int):
@@ -1451,6 +1453,8 @@ def main():
             ("solvers_extra", lambda: bench_solvers_extra(
                 scenarios, args.horizon, args.iters, certify_reps)),
             ("estimation", lambda: bench_estimation(scenarios, certify_reps)),
+            ("shardmap", lambda: bench_shardmap_overhead(
+                scenarios, args.horizon, args.iters, certify_reps)),
         ]
         for name, fn in sections:
             t0 = time.perf_counter()
@@ -1477,8 +1481,6 @@ def main():
         bench_serving(scenarios, args.horizon, reps)
         bench_solvers_extra(scenarios, args.horizon, args.iters, reps)
         bench_estimation(scenarios, reps)
-
-    if args.full:
         bench_shardmap_overhead(scenarios, args.horizon, args.iters, reps)
 
     if args.scaling:

@@ -145,8 +145,8 @@ def _kalman_filter_batched_vmap(A, C, Q, R, x0s, P0, yss, B=None, uss=None
     )(x0s, yss, uss)
 
 
-def kalman_filter_batched(A, C, Q, R, x0s, P0, yss, B=None, uss=None
-                          ) -> KalmanResult:
+def kalman_filter_batched(A, C, Q, R, x0s, P0, yss, B=None, uss=None,
+                          mean_chunk: int = 0) -> KalmanResult:
     """Batched LTI Kalman filter: x0s (N, n), yss (N, T, p), uss (N, T, m).
 
     Shared-covariance fast path: with A/C/Q/R/P0 shared across the batch
@@ -172,6 +172,12 @@ def kalman_filter_batched(A, C, Q, R, x0s, P0, yss, B=None, uss=None
     Exact same algebra as _filter_step (Cholesky-whitened innovation,
     symmetrized covariances); parity asserted in
     tests/test_estimation.py::test_batched_fast_path_matches_vmap.
+
+    mean_chunk=L (opt-in, 8-16 recommended) replaces the sequential mean
+    recurrence with chunk-parallel prefix-product recovery
+    (_mean_pass_chunked): L sequential (N, n) fusions become one batched
+    GEMM + cumsum + GEMM per chunk. Large L blows up the inverse prefix
+    products (4e-2 deviation measured at L=T=50) — keep chunks small.
     """
     N, T, p = yss.shape
     n = x0s.shape[1]
@@ -206,25 +212,95 @@ def kalman_filter_batched(A, C, Q, R, x0s, P0, yss, B=None, uss=None
     us_t = jnp.swapaxes(u_terms, 0, 1)      # (T, N, n)
     c0 = jnp.asarray(p * jnp.log(2.0 * jnp.pi), dt)
 
-    def mean_step(carry, inputs):
-        x, ll = carry                        # (N, n), (N,)
-        y, u, W, invL, logdet = inputs
-        x_p = x @ A.T + u                    # (N, n)
-        v = y - x_p @ C.T                    # (N, p)
-        x_f = x_p + v @ W                    # v @ (K.T).T == v @ W
-        alpha = v @ invL.T                   # whitened innovation
-        ll = ll - 0.5 * (jnp.sum(alpha * alpha, axis=1) + c0) - logdet
-        return (x_f, ll), (x_f, x_p)
+    if mean_chunk and mean_chunk > 1:
+        xs_f, xs_p, ll = _mean_pass_chunked(
+            A, C, x0s, ys_t, us_t, Ws, invLs, logdets, c0,
+            int(mean_chunk))
+    else:
+        def mean_step(carry, inputs):
+            x, ll = carry                    # (N, n), (N,)
+            y, u, W, invL, logdet = inputs
+            x_p = x @ A.T + u                # (N, n)
+            v = y - x_p @ C.T                # (N, p)
+            x_f = x_p + v @ W                # v @ (K.T).T == v @ W
+            alpha = v @ invL.T               # whitened innovation
+            ll = ll - 0.5 * (jnp.sum(alpha * alpha, axis=1) + c0) - logdet
+            return (x_f, ll), (x_f, x_p)
 
-    (_, ll), (xs_f, xs_p) = lax.scan(
-        mean_step, (x0s, jnp.zeros((N,), dt)),
-        (ys_t, us_t, Ws, invLs, logdets), unroll=unroll)
+        (_, ll), (xs_f, xs_p) = lax.scan(
+            mean_step, (x0s, jnp.zeros((N,), dt)),
+            (ys_t, us_t, Ws, invLs, logdets), unroll=unroll)
 
     covs = jnp.broadcast_to(P_fs, (N, T, n, n))
     pred_covs = jnp.broadcast_to(P_ps, (N, T, n, n))
     return KalmanResult(means=jnp.swapaxes(xs_f, 0, 1), covs=covs,
                         pred_means=jnp.swapaxes(xs_p, 0, 1),
                         pred_covs=pred_covs, log_likelihood=ll)
+
+
+def _mean_pass_chunked(A, C, x0s, ys_t, us_t, Ws, invLs, logdets, c0,
+                       L: int):
+    """Chunked-parallel batched mean recurrence (kalman_filter_batched
+    mean_chunk=L).
+
+    The filtered mean obeys the shared-gain AFFINE recurrence
+        x_t = x_{t-1} @ G_t' + c_t,   G_t' = A'(I - C'W_t),
+        c_t = u_t (I - C'W_t) + y_t @ W_t,
+    so within a chunk of L steps all means are recoverable IN PARALLEL
+    from the chunk-anchor state via tiny shared prefix products:
+        x_{s+k} = (x_s + sum_{j<=k} c_{s+j} @ P_j^{-1}) @ P_k,
+        P_k = G_{s+1}' ... G_{s+k}'.
+    That replaces L sequential (N, n) fusions (each ~1 us of XLA
+    dispatch/fusion latency — the measured cost driver at T=50, r4
+    roofline follow-up) with one batched GEMM + one cumsum + one batched
+    GEMM per chunk; only T/L chunk boundaries stay sequential. The
+    inverse prefix products grow like (1/spectral_radius)^L, so L is
+    kept small (8-16) to bound fp32 blow-up; requires I - C'W_t
+    invertible (true whenever the predicted covariance is PD).
+    Predictions and the innovation log-likelihood are recovered
+    batch-parallel from the full filtered sequence afterwards."""
+    N, n = x0s.shape
+    T = ys_t.shape[0]
+    dt = x0s.dtype
+    eye_n = jnp.eye(n, dtype=dt)
+
+    Es = eye_n - jnp.einsum("pi,tpj->tij", C, Ws)        # (T, n, n)
+    Gts = jnp.einsum("ij,tjk->tik", A.T, Es)             # G_t' stacks
+    cs = jnp.einsum("tni,tij->tnj", us_t, Es) + jnp.einsum(
+        "tnp,tpj->tnj", ys_t, Ws)                        # (T, N, n)
+    invGts = _solve_small(Gts, jnp.broadcast_to(eye_n, Gts.shape))
+
+    xs_chunks = []
+    x = x0s
+    for s in range(0, T, L):
+        e = min(s + L, T)
+        # tiny shared prefix products P_k and their inverses (trace-time
+        # loop over the chunk; n x n matmuls)
+        P = eye_n
+        iP = eye_n
+        Ps, iPs = [], []
+        for t in range(s, e):
+            P = P @ Gts[t]
+            iP = invGts[t] @ iP
+            Ps.append(P)
+            iPs.append(iP)
+        P_stack = jnp.stack(Ps)                          # (Lc, n, n)
+        iP_stack = jnp.stack(iPs)
+        d = jnp.einsum("kni,kij->knj", cs[s:e], iP_stack)
+        cum = jnp.cumsum(d, axis=0)
+        xs_c = jnp.einsum("kni,kij->knj", x[None] + cum, P_stack)
+        xs_chunks.append(xs_c)
+        x = xs_c[-1]
+    xs_f = jnp.concatenate(xs_chunks, axis=0)            # (T, N, n)
+
+    # batch-parallel prediction + innovation log-likelihood recovery
+    x_prev = jnp.concatenate([x0s[None], xs_f[:-1]], axis=0)
+    xs_p = jnp.einsum("tni,ji->tnj", x_prev, A) + us_t
+    v = ys_t - jnp.einsum("tni,pi->tnp", xs_p, C)
+    alpha = jnp.einsum("tnp,tqp->tnq", v, invLs)
+    ll = (-0.5 * (jnp.sum(alpha * alpha, axis=(0, 2)) + T * c0)
+          - jnp.sum(logdets))
+    return xs_f, xs_p, ll
 
 
 def kalman_smoother(A: jax.Array, filt: KalmanResult) -> SmootherResult:

@@ -660,3 +660,36 @@ def test_kalman_associative_nopivot_matches():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(float(par.log_likelihood),
                                float(seq.log_likelihood), rtol=1e-4)
+
+
+@pytest.mark.parametrize("L", [4, 8, 16])
+def test_batched_mean_chunked_matches_sequential(L):
+    """mean_chunk=L replaces the sequential mean recurrence with
+    chunk-parallel prefix-product recovery; parity must hold at the
+    supported chunk sizes (large L is documented to blow up the inverse
+    prefix products — measured 4e-2 at L=T=50, so it stays opt-in with
+    small L)."""
+    from numpower_tpu.models.estimation import kalman_filter_batched
+
+    rng = np.random.default_rng(0)
+    A = jnp.asarray([[1.0, 0.1], [0.0, 1.0]])
+    C = jnp.asarray([[1.0, 0.0]])
+    Q = jnp.eye(2) * 1e-3
+    R = jnp.eye(1) * 1e-2
+    P0 = jnp.eye(2) * 0.1
+    N, T = 64, 50
+    yss = jnp.asarray(rng.standard_normal((N, T, 1)).astype(np.float32))
+    x0s = jnp.asarray(rng.standard_normal((N, 2)).astype(np.float32))
+    B = jnp.asarray([[0.005], [0.1]])
+    uss = jnp.asarray(rng.standard_normal((N, T, 1)).astype(np.float32))
+    ref = kalman_filter_batched(A, C, Q, R, x0s, P0, yss, B=B, uss=uss)
+    ch = kalman_filter_batched(A, C, Q, R, x0s, P0, yss, B=B, uss=uss,
+                               mean_chunk=L)
+    np.testing.assert_allclose(np.asarray(ch.means), np.asarray(ref.means),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ch.pred_means),
+                               np.asarray(ref.pred_means), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ch.log_likelihood),
+                               np.asarray(ref.log_likelihood), rtol=1e-4,
+                               atol=1e-2)
