@@ -20,3 +20,6 @@ from numpower_tpu.parallel.distributed import (  # noqa: F401
 from numpower_tpu.parallel.sampling import (  # noqa: F401
     mppi_solve_dp, particle_filter_dp,
 )
+from numpower_tpu.parallel.solvers_dp import (  # noqa: F401
+    al_ilqr_solve_dp, mhe_solve_dp,
+)

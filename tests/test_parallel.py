@@ -575,3 +575,53 @@ def test_particle_filter_dp_resampling_exercised():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(float(res.log_likelihood),
                                float(ref.log_likelihood), rtol=1e-4)
+
+
+def test_al_ilqr_dp_matches_single_device():
+    """Scenario-DP AL-iLQR == unsharded batched solver (embarrassing DP;
+    same per-device program)."""
+    from numpower_tpu.models import al_ilqr_solve_batched, pendulum_step
+    from numpower_tpu.parallel import al_ilqr_solve_dp
+
+    rng = np.random.default_rng(13)
+    Qp = jnp.diag(jnp.array([1.0, 0.1]))
+    Rp = jnp.eye(1) * 0.01
+    QFp = jnp.diag(jnp.array([100.0, 10.0]))
+    x0s = jnp.asarray(rng.uniform(-1, 1, (16, 2)).astype(np.float32))
+    ref = al_ilqr_solve_batched(pendulum_step, x0s, Qp, Rp, QFp,
+                                jnp.zeros(2), 20, -2.0, 2.0, al_iters=2,
+                                ilqr_iters=3)
+    mesh = make_mesh((8, 1))
+    res, worst = al_ilqr_solve_dp(pendulum_step, shard_batch(x0s, mesh),
+                                  Qp, Rp, QFp, jnp.zeros(2), 20, -2.0, 2.0,
+                                  mesh, al_iters=2, ilqr_iters=3)
+    np.testing.assert_allclose(np.asarray(res.us), np.asarray(ref.us),
+                               rtol=1e-4, atol=1e-4)
+    assert abs(float(worst) - float(jnp.max(ref.max_violation))) < 1e-5
+
+
+def test_mhe_dp_matches_single_device():
+    """Window-DP MHE == vmapped single-device windows, residual pmax'd."""
+    from numpower_tpu.models import double_integrator
+    from numpower_tpu.models.mhe import mhe_solve
+    from numpower_tpu.parallel import mhe_solve_dp
+
+    rng = np.random.default_rng(14)
+    A, B = double_integrator(0.1)
+    A = jnp.asarray(A)
+    C = jnp.asarray([[1.0, 0.0]])
+    Q = jnp.eye(2) * 1e-3
+    R = jnp.eye(1) * 1e-2
+    P0 = jnp.eye(2) * 0.1
+    Nw, M = 16, 8
+    x_priors = jnp.asarray(rng.standard_normal((Nw, 2)).astype(np.float32))
+    yss = jnp.asarray(rng.standard_normal((Nw, M, 1)).astype(np.float32))
+    ref = jax.vmap(lambda xp, ys: mhe_solve(A, C, Q, R, P0, xp, ys))(
+        x_priors, yss)
+    mesh = make_mesh((8, 1))
+    res, worst = mhe_solve_dp(A, C, Q, R, P0,
+                              shard_batch(x_priors, mesh),
+                              shard_batch(yss, mesh), mesh)
+    np.testing.assert_allclose(np.asarray(res.xs), np.asarray(ref.xs),
+                               rtol=1e-4, atol=1e-4)
+    assert float(worst) >= float(jnp.max(res.primal_residual)) - 1e-6
