@@ -673,7 +673,7 @@ def kalman_filter_associative(
     ys: jax.Array,
     B: Optional[jax.Array] = None,
     us: Optional[jax.Array] = None,
-    nopivot: bool = False,
+    nopivot: bool = True,
 ) -> KalmanResult:
     """Parallel-in-time Kalman filter: O(log T) depth associative scan.
 
@@ -683,9 +683,11 @@ def kalman_filter_associative(
     prefix composition runs as lax.associative_scan, and prediction/
     log-likelihood are recovered with one trailing vmap.
 
-    nopivot: route combine denominators through the unpivoted unrolled
-    LU (fusion-friendly; see riccati_associative) — opt-in pending the
-    on-TPU A/B.
+    Combine denominators route through the unpivoted unrolled LU by
+    default (fusion-friendly; safe by construction — I + CJ with PSD
+    factors keeps pivots >= 1; measured 1.13x at n=12 T=4096 on v5e with
+    4.3e-6 parity, scripts/assoc_ab.py). nopivot=False restores the
+    pivoted solver. n <= 3 systems use the adjugate either way.
     """
     T, p = ys.shape
     n = x0.shape[0]

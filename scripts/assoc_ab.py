@@ -51,9 +51,15 @@ def main():
     R = np.eye(4, dtype=np.float32) * 0.1
     QF = jnp.asarray(np.eye(12, dtype=np.float32) * 5.0)
 
-    # parity on-device first
-    Ks_pv, _ = riccati_associative(Aj, Bj, Q, R, QF, T)
-    Ks_np, _ = riccati_associative(Aj, Bj, Q, R, QF, T, nopivot=True)
+    # parity on-device first (JIT the whole solve: an eager associative
+    # scan dispatches its unrolled combine op-by-op through the relay —
+    # measured ~10 min per eager call at T=4096)
+    import functools
+
+    ric = jax.jit(functools.partial(riccati_associative, horizon=T),
+                  static_argnames="nopivot")
+    Ks_pv, _ = ric(Aj, Bj, Q, R, QF, nopivot=False)
+    Ks_np, _ = ric(Aj, Bj, Q, R, QF, nopivot=True)
     d = float(jnp.max(jnp.abs(Ks_pv - Ks_np)))
     _log(f"[riccati] pivot-vs-nopivot gain dev: {d:.2e}")
     assert d < 1e-3
@@ -83,9 +89,9 @@ def main():
     ys = jnp.asarray(
         np.random.default_rng(0).standard_normal((T, p)).astype(np.float32))
 
-    r_pv = kalman_filter_associative(Aj, C, Qn, Rn, x0, P0, ys)
-    r_np = kalman_filter_associative(Aj, C, Qn, Rn, x0, P0, ys,
-                                     nopivot=True)
+    kf = jax.jit(kalman_filter_associative, static_argnames="nopivot")
+    r_pv = kf(Aj, C, Qn, Rn, x0, P0, ys, nopivot=False)
+    r_np = kf(Aj, C, Qn, Rn, x0, P0, ys, nopivot=True)
     d = float(jnp.max(jnp.abs(r_pv.means - r_np.means)))
     _log(f"[kf12] pivot-vs-nopivot means dev: {d:.2e}")
     assert d < 1e-3
