@@ -71,18 +71,28 @@ def _device_time_per_call(body_fn, args, K: int = 64, reps: int = 5,
 
     n = max(int(reps), 5)
 
-    def run_times(rep):
-        float(jax.device_get(rep(*args)))  # compile + warm
-        ts = []
-        for _ in range(n):
-            t = time.perf_counter()
-            float(jax.device_get(rep(*args)))
-            ts.append(time.perf_counter() - t)
-        return ts
+    rep_base = make_rep(lambda *a: a[-1])
+    rep_body = make_rep(body_fn)
+    # compile + warm both
+    float(jax.device_get(rep_base(*args)))
+    float(jax.device_get(rep_body(*args)))
 
-    baseline = float(np.median(run_times(make_rep(lambda *a: a[-1]))))
-    totals = run_times(make_rep(body_fn))
-    per_call = np.maximum((np.asarray(totals) - baseline) / K, 1e-9)
+    # INTERLEAVE baseline/body pairs: measuring all baselines first and
+    # all bodies after lets relay drift between the two phases bias the
+    # subtraction — observed as physically-impossible sub-speed-of-light
+    # flagship reads (MFU 118%, 2026-08-21). Pairwise subtraction cancels
+    # drift slower than one pair (~the CLAUDE.md interleaved-A/B rule,
+    # applied to the harness itself).
+    per_call = []
+    for _ in range(n):
+        t = time.perf_counter()
+        float(jax.device_get(rep_base(*args)))
+        t_base = time.perf_counter() - t
+        t = time.perf_counter()
+        float(jax.device_get(rep_body(*args)))
+        t_body = time.perf_counter() - t
+        per_call.append(max((t_body - t_base) / K, 1e-9))
+    per_call = np.asarray(per_call)
     med = float(np.median(per_call))
     if return_stats:
         q25, q75 = np.percentile(per_call, [25, 75])

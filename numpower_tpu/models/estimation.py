@@ -173,11 +173,16 @@ def kalman_filter_batched(A, C, Q, R, x0s, P0, yss, B=None, uss=None,
     symmetrized covariances); parity asserted in
     tests/test_estimation.py::test_batched_fast_path_matches_vmap.
 
-    mean_chunk=L (opt-in, 8-16 recommended) replaces the sequential mean
-    recurrence with chunk-parallel prefix-product recovery
-    (_mean_pass_chunked): L sequential (N, n) fusions become one batched
-    GEMM + cumsum + GEMM per chunk. Large L blows up the inverse prefix
-    products (4e-2 deviation measured at L=T=50) — keep chunks small.
+    mean_chunk=L (opt-in) replaces the sequential mean recurrence with
+    chunk-parallel prefix-product recovery (_mean_pass_chunked).
+    MEASURED REGRESSION on v5e (N=4096, T=50, 2026-08-21): sequential
+    28.8 us vs chunked 44-49 us — the chunk path's extra materialized
+    (L, N, n) intermediates (cs, d, cumsum, xs) cost more HBM traffic
+    than the ~0.5 us/step fusion-dispatch latency they remove, so the
+    default stays sequential; the option is kept as the documented
+    experiment (scripts/kf_chunk_ab.py) and for dispatch-latency-bound
+    hosts. Large L also blows up the inverse prefix products (4e-2
+    deviation at L=T=50) — keep chunks <= 16.
     """
     N, T, p = yss.shape
     n = x0s.shape[1]

@@ -110,8 +110,9 @@ def riccati_associative(A, B, Q, R, QF, horizon: int,
     default (utils/smallmat.lu_solve_nopivot — every elimination op
     fuses; the pivoted form's masked argmax breaks fusion per column).
     Safe by construction here: the denominators are I + CJ with C, J PSD,
-    so every pivot stays >= 1. Measured 1.13x on the companion 12-state
-    associative KF (v5e, T=4096, parity 4.3e-6, scripts/assoc_ab.py);
+    so every pivot stays >= 1. Measured 1.11x at T=4096 n=12 on v5e
+    (3.62 -> 3.26 ms, parity < 1e-3 asserted on-device; companion
+    12-state associative KF 1.13x — scripts/assoc_ab.py, 2026-08-21);
     nopivot=False restores the pivoted solver.
     """
     n = A.shape[-1]

@@ -286,10 +286,17 @@ def mfu_report(label: str, cost: KernelCost, measured_seconds: float,
                 f"({ach_padded:.1f} padded) — no TPU peak known, MFU n/a")
     sol = cost.sol_seconds(peak_tf)
     mfu = cost.mfu(measured_seconds, peak_tf)
+    flag = ""
+    if mfu > 1.0:
+        # faster than the pass-weighted speed-of-light is physically
+        # impossible — the relay drifted between the no-op baseline and
+        # the body windows (documented 2-5x run-to-run drift; CLAUDE.md).
+        # Treat the reading as an artifact bounded by the printed IQR.
+        flag = " [IMPOSSIBLE >100%: relay-drift artifact, discard]"
     return (
         f"[mfu] {label}: {ach_logical:.1f} TFLOP/s logical / "
         f"{ach_padded:.1f} padded; MXU-pass SoL {sol*1e6:.1f} us vs "
         f"measured {measured_seconds*1e6:.1f} us -> MFU {100*mfu:.0f}% of "
         f"{peak_tf:.0f} TFLOP/s single-pass peak "
-        f"(d-padding waste {100*cost.padding_waste:.1f}%)"
+        f"(d-padding waste {100*cost.padding_waste:.1f}%){flag}"
     )
