@@ -77,25 +77,27 @@ def _device_time_per_call(body_fn, args, K: int = 64, reps: int = 5,
     float(jax.device_get(rep_base(*args)))
     float(jax.device_get(rep_body(*args)))
 
-    # INTERLEAVE baseline/body pairs: measuring all baselines first and
-    # all bodies after lets relay drift between the two phases bias the
-    # subtraction — observed as physically-impossible sub-speed-of-light
-    # flagship reads (MFU 118%, 2026-08-21). Pairwise subtraction cancels
-    # drift slower than one pair (~the CLAUDE.md interleaved-A/B rule,
-    # applied to the harness itself).
-    per_call = []
+    # INTERLEAVE baseline/body sampling: measuring all baselines first
+    # and all bodies after lets relay drift between the two phases bias
+    # the subtraction — observed as a physically-impossible
+    # sub-speed-of-light flagship read (MFU 118%, 2026-08-21). Sampling
+    # alternates (the CLAUDE.md interleaved-A/B rule applied to the
+    # harness itself) but the estimate subtracts MEDIANS, not pairs: a
+    # single stalled baseline rep makes its pair's difference negative
+    # (observed collapsing a 117 us quantity to 0), while the median of
+    # each interleaved stream is robust to isolated stalls.
+    base_ts, body_ts = [], []
     for _ in range(n):
         t = time.perf_counter()
         float(jax.device_get(rep_base(*args)))
-        t_base = time.perf_counter() - t
+        base_ts.append(time.perf_counter() - t)
         t = time.perf_counter()
         float(jax.device_get(rep_body(*args)))
-        t_body = time.perf_counter() - t
-        per_call.append(max((t_body - t_base) / K, 1e-9))
-    per_call = np.asarray(per_call)
-    med = float(np.median(per_call))
+        body_ts.append(time.perf_counter() - t)
+    med = max(
+        (float(np.median(body_ts)) - float(np.median(base_ts))) / K, 1e-9)
     if return_stats:
-        q25, q75 = np.percentile(per_call, [25, 75])
+        q25, q75 = np.percentile(np.asarray(body_ts) / K, [25, 75])
         return med, float(q75 - q25)
     return med
 

@@ -268,11 +268,13 @@ def roofline_report(label: str, cost: RooflineCost,
     sol = cost.sol_seconds(hbm, vpu)
     bound = cost.bound(hbm, vpu)
     util = sol / measured_seconds
+    flag = (" [IMPOSSIBLE >100%: relay-drift artifact, discard]"
+            if util > 1.0 else "")
     return (
         f"[roofline] {label}: {gbs:.1f} GB/s + {tf:.2f} TFLOP/s achieved; "
         f"{bound}-bound SoL {sol*1e6:.1f} us vs measured "
         f"{measured_seconds*1e6:.1f} us -> {100*util:.0f}% of roofline "
-        f"(peaks {hbm:.0f} GB/s, {vpu:.1f} VPU TFLOP/s)"
+        f"(peaks {hbm:.0f} GB/s, {vpu:.1f} VPU TFLOP/s){flag}"
     )
 
 
