@@ -379,11 +379,14 @@ def bench_ilqr(reps: int):
     lxs = 2.0 * xsb[:, :Tb] @ Q.T
     lus = 2.0 * usb @ R.T
     lxT = 2.0 * xsb[:, Tb] @ QF.T
+    # K=256: at ~0.1 ms/call a 64-call window (~7 ms) sits inside the
+    # relay RTT noise (reads drifted 18-117 us between captures);
+    # 256 calls ~= 30 ms of device work clears it
     t_bw = _device_time_per_call(
         lambda As, Bs, i: ilqr_backward_fused(
             As + i * 1e-7, Bs, lxs, lus, 2 * Q, 2 * R, lxT, 2 * QF,
             reg=1e-3, interpret=interp)[0][0, 0, 0],
-        (As, Bs), K=64, reps=max(2, reps // 2),
+        (As, Bs), K=256, reps=max(2, reps // 2),
     )
     _log(f"[ilqr-bw] fused backward N={Nb} T={Tb}: {t_bw*1e3:.3f} ms/batch")
     _log(roofline_report(f"fused iLQR backward N={Nb} T={Tb}",
