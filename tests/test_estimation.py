@@ -132,8 +132,11 @@ def test_kalman_batched_matches_single(lti_data):
     r0 = kalman_filter(A, C, Q, R, x0s[0], jnp.eye(2) * 0.1, yss[0])
     np.testing.assert_allclose(np.asarray(res.means[0]), np.asarray(r0.means),
                                rtol=1e-5, atol=1e-6)
+    # ll accumulates 50 rounding-ordered steps: the batched fused program
+    # rounds differently from the single filter on TPU (measured 2.3e-5
+    # relative on v5e, scripts/tpu_suite.sh) — 1e-4 covers both backends
     np.testing.assert_allclose(float(res.log_likelihood[0]),
-                               float(r0.log_likelihood), rtol=1e-5)
+                               float(r0.log_likelihood), rtol=1e-4)
 
 
 def test_batched_fast_path_matches_vmap():
@@ -563,8 +566,13 @@ def test_particle_filter_nonlinear_tracks_and_is_reproducible():
         lambda x0, ys, us, key: particle_filter(
             pendulum_step, h, Q, R, x0, P0, ys, us, key, n_particles=2048)
     )(x0, ys, us, key)
+    # jit-vs-eager fuse differently on TPU; a single fp-flipped resampling
+    # index cascades to O(5e-3) mean shifts (resampling is discontinuous in
+    # the weights). On CPU the paths agree to fp noise; on TPU assert the
+    # jitted filter still tracks the same posterior.
+    jit_atol = 1e-5 if jax.default_backend() == "cpu" else 5e-2
     np.testing.assert_allclose(np.asarray(jres.means),
-                               np.asarray(res.means), atol=1e-5)
+                               np.asarray(res.means), atol=jit_atol)
     # batched wrapper runs and each row is a valid filter
     bres = particle_filter_batched(
         pendulum_step, h, Q, R, jnp.stack([x0, x0]), P0,
