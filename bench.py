@@ -1456,6 +1456,15 @@ def main():
     verify_info = None
     run_sections = (not args.skip_certify) and (not args.quick or args.full)
     if run_sections:
+        # Wall-clock budget: the certify pass must NEVER cost the round
+        # its headline — if the driver's (unknown) timeout fires before
+        # the final JSON prints, nothing is recorded. Sections are
+        # skipped (and marked) once the budget is spent; the verify pass
+        # gets a reserved slice. Override with NPTPU_CERTIFY_BUDGET_S.
+        import os as _os
+
+        budget_s = float(_os.environ.get("NPTPU_CERTIFY_BUDGET_S", 1800))
+        t_start = time.perf_counter()
         certify_reps = min(reps, 5)
         sections = [
             ("lqr", lambda: bench_lqr(args.horizon, certify_reps)),
@@ -1471,7 +1480,15 @@ def main():
             ("shardmap", lambda: bench_shardmap_overhead(
                 scenarios, args.horizon, args.iters, certify_reps)),
         ]
+        verify_reserve = 420.0  # the verify pass's historical ~6-7 min
         for name, fn in sections:
+            spent = time.perf_counter() - t_start
+            if spent > budget_s - verify_reserve:
+                _log(f"[certify] BUDGET exhausted ({spent:.0f}s of "
+                     f"{budget_s:.0f}s incl. {verify_reserve:.0f}s verify "
+                     f"reserve) — skipping section {name}")
+                all_rows[f"{name}_skipped_budget"] = (spent, "s")
+                continue
             t0 = time.perf_counter()
             try:
                 all_rows.update(fn() or {})

@@ -269,9 +269,12 @@ def _admm_g_res_kernel(rminvT_ref, x0_ref, wc_ref, params_ref,
     lo = params_ref[1]
     hi = params_ref[2]
     alpha = params_ref[3]
-    # c formation: HIGHEST by default (iteration-invariant, so its error
-    # persists); "bf16x3" shaves ~3 nominal MXU passes at ~1e-5 accuracy
-    # (r3 verdict #7 headroom A/B — scripts/admm_breakdown.py)
+    # c formation is iteration-invariant, so its error persists through
+    # the whole solve. Public default is "bf16x4" (4 passes): measured
+    # 43.7 us vs HIGHEST's 52.4 at the flagship with |dz| 7.0e-5 — inside
+    # the 1e-4 parity bound, where bf16x3's 1.15e-4 was not
+    # (scripts/admm_breakdown.py, v5e 2026-08-21). "highest" restores the
+    # exact-fp32 formation.
     c = make_tail_dot(wc_ref[:], c_precision)(x0_ref[:])
     rminvT = rminvT_ref[:]
     tail_dot = make_tail_dot(rminvT, tail_precision)
@@ -323,7 +326,7 @@ def admm_mpc_pallas_res(
     Minv: Optional[jax.Array] = None,
     U0: Optional[jax.Array] = None,
     form: str = "s",
-    c_precision: str = "highest",
+    c_precision: str = "bf16x4",
 ):
     """admm_mpc_pallas with residuals FUSED into the kernel: returns
     (z (N, d), r_primal scalar, r_dual scalar). Per tile the only HBM

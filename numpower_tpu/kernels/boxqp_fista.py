@@ -246,7 +246,8 @@ def fista_mpc_pallas(
 def _fista_g_res_kernel(Ht_ref, x0_ref, w_ref, lostep_ref, u0_ref,
                         out_ref, res_ref, *, iters: int, coarse_iters: int,
                         d: int, n_real: int, tile_n: int,
-                        tail_precision: str = "bf16x3"):
+                        tail_precision: str = "bf16x3",
+                        g_precision: str = "highest"):
     """_fista_g_kernel variant with the RESIDUAL fused in: after the
     iteration loop, one more VMEM-resident GEMM forms the projected-gradient
     residual and reduces it to a per-tile scalar. Saves the g HBM write AND
@@ -258,8 +259,12 @@ def _fista_g_res_kernel(Ht_ref, x0_ref, w_ref, lostep_ref, u0_ref,
     step = lostep_ref[0]
     lo = lostep_ref[1]
     hi = lostep_ref[2]
-    g = jnp.dot(x0_ref[:], w_ref[:], precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+    # g is iteration-invariant so its error persists through the solve:
+    # HIGHEST default; "bf16x4" measured within the 1e-4 parity bound on
+    # the ADMM twin (scripts/admm_breakdown.py) and saves ~3-8 us/call
+    from numpower_tpu.kernels.precision import make_tail_dot as _mtd
+
+    g = _mtd(w_ref[:], g_precision)(x0_ref[:])
     U = _fista_loop(g, Ht_ref[:], step, lo, hi, u0_ref[:], iters, coarse_iters,
                     tail_precision)
     out_ref[:] = U
@@ -289,7 +294,7 @@ def _fista_g_res_kernel(Ht_ref, x0_ref, w_ref, lostep_ref, u0_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("iters", "coarse_iters", "tile_n", "interpret",
-                     "tail_precision"),
+                     "tail_precision", "g_precision"),
 )
 def fista_mpc_pallas_res(
     H: jax.Array,        # (d, d)
@@ -305,12 +310,15 @@ def fista_mpc_pallas_res(
     interpret: bool = False,
     U0: Optional[jax.Array] = None,
     tail_precision: str = "bf16x3",
+    g_precision: str = "highest",
 ):
     """fista_mpc_pallas with the residual FUSED into the kernel: returns
     (U (N, d), resid scalar). The only HBM traffic per tile is the x0 read
     and the U write — no g materialization, no external residual GEMM.
     g comes from the FOLDED prediction chain (see fista_mpc_pallas).
-    U0 warm-starts the iterate (receding-horizon shifts)."""
+    U0 warm-starts the iterate (receding-horizon shifts). g_precision
+    "bf16x4" trades ~5e-5 persistent g error for 2 nominal MXU passes
+    (see the ADMM twin's measured A/B, scripts/admm_breakdown.py)."""
     N, n = x0s.shape
     d = H.shape[0]
     d_pad = _round_up(d, 128)
@@ -334,7 +342,7 @@ def fista_mpc_pallas_res(
     kernel = functools.partial(
         _fista_g_res_kernel, iters=iters,
         coarse_iters=min(coarse_iters, iters), d=d, n_real=N, tile_n=tile_n,
-        tail_precision=tail_precision,
+        tail_precision=tail_precision, g_precision=g_precision,
     )
     U, res = pl.pallas_call(
         kernel,

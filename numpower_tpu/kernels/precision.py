@@ -51,6 +51,24 @@ def make_tail_dot(Ht: jax.Array, tail_precision: str):
                     + jnp.dot(Y_lo, Ht_hi, **kw))
 
         return tail_dot
+    if tail_precision == "bf16x4":
+        # full 4-term split (keeps the lo@lo term bf16x3 drops): one extra
+        # MXU pass for ~2x lower error — for iteration-INVARIANT operands
+        # (the fused ADMM's c formation) whose error persists through the
+        # whole solve, where bf16x3 measured 1.15e-4 solution drift
+        # (just past the 1e-4 parity bound) and HIGHEST costs ~7 us more
+        # (scripts/admm_breakdown.py, v5e 2026-08-21)
+        Ht_hi, Ht_lo = bf16_split(Ht)
+
+        def tail_dot(Y):
+            Y_hi, Y_lo = bf16_split(Y)
+            kw = dict(precision=lax.Precision.DEFAULT,
+                      preferred_element_type=jnp.float32)
+            return (jnp.dot(Y_hi, Ht_hi, **kw) + jnp.dot(Y_hi, Ht_lo, **kw)
+                    + jnp.dot(Y_lo, Ht_hi, **kw)
+                    + jnp.dot(Y_lo, Ht_lo, **kw))
+
+        return tail_dot
     if tail_precision == "highest":
         def tail_dot(Y):
             return jnp.dot(Y, Ht, precision=lax.Precision.HIGHEST,

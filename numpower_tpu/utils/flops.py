@@ -38,7 +38,7 @@ _PEAKS_TFLOPS = (
     ("v4", 275.0),
 )
 
-PASSES = {"bf16": 1, "bf16x3": 3, "highest": 6}
+PASSES = {"bf16": 1, "bf16x3": 3, "bf16x4": 4, "highest": 6}
 
 
 def peak_tflops(device=None) -> Optional[float]:
@@ -79,11 +79,13 @@ class KernelCost(NamedTuple):
 
 
 def _qp_kernel_cost(N: int, n: int, d: int, iters: int, coarse_iters: int,
-                    extra_gemms) -> KernelCost:
+                    extra_gemms, form_precision: str = "highest"
+                    ) -> KernelCost:
     """Shared inventory for the fused FISTA/ADMM MPC kernels (post-fold):
-    one (N, n)@(n, d) HIGHEST g/c formation, iters (N, d)@(d, d) iteration
-    GEMMs (coarse single-pass bf16, tail bf16x3), plus solver-specific
-    extra GEMMs given as (logical_flops, padded_flops, passes) tuples."""
+    one (N, n)@(n, d) g/c formation at `form_precision`, iters
+    (N, d)@(d, d) iteration GEMMs (coarse single-pass bf16, tail bf16x3),
+    plus solver-specific extra GEMMs given as (logical_flops,
+    padded_flops, passes) tuples."""
     d_pad = _round_up(d, 128)
     n_pad = _round_up(n, 128)
     tail = iters - coarse_iters
@@ -97,7 +99,7 @@ def _qp_kernel_cost(N: int, n: int, d: int, iters: int, coarse_iters: int,
         weighted += fp * passes
 
     # g / c formation from x0 (folded prediction chain)
-    add(2 * N * n * d, 2 * N * n_pad * d_pad, PASSES["highest"])
+    add(2 * N * n * d, 2 * N * n_pad * d_pad, PASSES[form_precision])
     # iteration stream
     it_l, it_p = 2 * N * d * d, 2 * N * d_pad * d_pad
     add(coarse_iters * it_l, coarse_iters * it_p, PASSES["bf16"])
@@ -119,10 +121,12 @@ def fista_mpc_cost(N: int, n: int, d: int, iters: int,
 def admm_mpc_cost(N: int, n: int, d: int, iters: int,
                   coarse_iters: int) -> KernelCost:
     """kernels/boxqp_admm.admm_mpc_pallas_res: iteration GEMMs + fully
-    folded c formation + one bf16x3 residual x-update."""
+    folded bf16x4 c formation (the r4 default — measured inside the 1e-4
+    parity bound) + one bf16x3 residual x-update."""
     d_pad = _round_up(d, 128)
     res = (2 * N * d * d, 2 * N * d_pad * d_pad, PASSES["bf16x3"])
-    return _qp_kernel_cost(N, n, d, iters, coarse_iters, [res])
+    return _qp_kernel_cost(N, n, d, iters, coarse_iters, [res],
+                           form_precision="bf16x4")
 
 
 # --------------------------------------------------------------------------

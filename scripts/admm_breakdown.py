@@ -95,10 +95,12 @@ def main():
     # (2) c-formation precision A/B (interleaved pairs)
     iters = 40
     ci = admm_coarse_iters(qp, iters)
-    pairs = [(t_of(iters, ci, c_precision="highest"),
-              t_of(iters, ci, c_precision="bf16x3")) for _ in range(3)]
-    t_hi = float(np.median([p[0] for p in pairs]))
-    t_b3 = float(np.median([p[1] for p in pairs]))
+    trips = [(t_of(iters, ci, c_precision="highest"),
+              t_of(iters, ci, c_precision="bf16x3"),
+              t_of(iters, ci, c_precision="bf16x4")) for _ in range(3)]
+    t_hi = float(np.median([p[0] for p in trips]))
+    t_b3 = float(np.median([p[1] for p in trips]))
+    t_b4 = float(np.median([p[2] for p in trips]))
     z_hi, _, _ = admm_mpc_pallas_res(
         qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(-1.0), jnp.float32(1.0),
         rho, iters=iters, coarse_iters=ci, interpret=interp)
@@ -106,10 +108,16 @@ def main():
         qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(-1.0), jnp.float32(1.0),
         rho, iters=iters, coarse_iters=ci, interpret=interp,
         c_precision="bf16x3")
-    dz = float(jnp.max(jnp.abs(z_hi - z_b3)))
+    z_b4, _, _ = admm_mpc_pallas_res(
+        qp.H, qp.Sx.T, qp.SuTQ.T, x0s, jnp.float32(-1.0), jnp.float32(1.0),
+        rho, iters=iters, coarse_iters=ci, interpret=interp,
+        c_precision="bf16x4")
+    dz3 = float(jnp.max(jnp.abs(z_hi - z_b3)))
+    dz4 = float(jnp.max(jnp.abs(z_hi - z_b4)))
     _log(f"[c-prec] HIGHEST {t_hi*1e6:.1f} us vs bf16x3 {t_b3*1e6:.1f} us "
-         f"({(t_hi/t_b3-1)*100:+.1f}%), max |dz| {dz:.2e} "
-         f"(parity bound 1e-4)")
+         f"({(t_hi/t_b3-1)*100:+.1f}%) vs bf16x4 {t_b4*1e6:.1f} us "
+         f"({(t_hi/t_b4-1)*100:+.1f}%); |dz| bf16x3 {dz3:.2e}, "
+         f"bf16x4 {dz4:.2e} (parity bound 1e-4)")
 
     # (3) VPU-op lever: s-form (~6 ops) vs zy-form (~10 ops), interleaved
     pairs = [(t_of(iters, ci, form="s"), t_of(iters, ci, form="zy"))
