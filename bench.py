@@ -1298,8 +1298,9 @@ def run_verify(scenarios: int, horizon: int) -> bool:
         return f"N={Nk} T={Tk} means {d1:.1e}, ll {d2:.1e}, covs {d3:.1e}"
 
     def v_pf_resampling():
-        # scatter-add + cumsum systematic index construction vs the
-        # searchsorted definition, element-exact, compiled on the backend
+        # the PRODUCTION one-hot slot-boundary construction (r4: no
+        # scatter, no gather — models/particle._systematic_resample) vs
+        # the searchsorted definition, element-exact, compiled on backend
         import jax.random as jrandom
 
         Np = 4096
@@ -1312,20 +1313,25 @@ def run_verify(scenarios: int, horizon: int) -> bool:
             cum = cum / cum[-1]
             m = jnp.clip(jnp.floor(Np * cum - u0).astype(jnp.int32) + 1,
                          0, Np)
-            starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), m[:-1]])
-            hits = jnp.zeros((Np,), jnp.int32).at[starts].add(
-                1, mode="drop")
-            idx_scatter = jnp.cumsum(hits) - 1
+            m_prev = jnp.concatenate([jnp.zeros((1,), m.dtype), m[:-1]])
+            i_idx = jnp.arange(Np)
+            oh = jnp.logical_and(i_idx[:, None] >= m_prev[None, :],
+                                 i_idx[:, None] < m[None, :])
+            # each one-hot row selects exactly one particle
+            idx_oh = oh.astype(jnp.int32) @ jnp.arange(Np, dtype=jnp.int32)
+            rowsum = jnp.sum(oh.astype(jnp.int32), axis=1)
             pos = (jnp.arange(Np, dtype=w.dtype) + u0) / Np
             idx_ref = jnp.searchsorted(cum, pos)
-            return idx_scatter, idx_ref
+            return idx_oh, rowsum, idx_ref
 
-        mism = 0
+        mism = bad_rows = 0
         for u0 in (0.0, 0.25, 0.5, 0.999):
-            i_s, i_r = both(w, jnp.float32(u0))
+            i_s, rs, i_r = both(w, jnp.float32(u0))
             mism += int(jnp.sum(i_s != i_r))
-        assert mism == 0, f"{mism} index mismatches vs searchsorted"
-        return f"N={Np}, 4 offsets, element-exact vs searchsorted"
+            bad_rows += int(jnp.sum(rs != 1))
+        assert mism == 0 and bad_rows == 0, \
+            f"{mism} index mismatches, {bad_rows} non-one-hot rows"
+        return f"N={Np}, 4 offsets, one-hot rows exact vs searchsorted"
 
     def v_sampling_dp():
         # sharded sampling families executed on the ACTIVE backend's mesh

@@ -41,29 +41,42 @@ class ParticleFilterResult(NamedTuple):
     log_weights: jax.Array     # (N,) final normalized log-weights
 
 
+def _resample_slots(key, logw, N: int):
+    """Integer slot boundaries of systematic resampling: particle j owns
+    output slots [m_{j-1}, m_j) with m_j = clip(floor(N cum_j - u0) + 1,
+    0, N) — exactly the searchsorted(cum, (i + u0)/N) assignment
+    (element-exact, asserted by bench.py --verify pf_resampling_indices)."""
+    w = jnp.exp(logw - jax.scipy.special.logsumexp(logw))
+    u0 = jax.random.uniform(key, (), w.dtype)
+    cum = jnp.cumsum(w)
+    cum = cum / cum[-1]  # exact 1.0 endpoint under fp32
+    return jnp.clip(jnp.floor(N * cum - u0).astype(jnp.int32) + 1, 0, N)
+
+
 def _systematic_resample(key, parts, logw):
     """Systematic resampling: one uniform offset, N evenly spaced positions
     through the CDF — lower conditional variance than multinomial and fully
     static-shaped.
 
-    Index construction is scatter-add + cumsum, NOT searchsorted: because
-    the positions (i + u0)/N are evenly spaced, particle j's slot range is
-    [m_{j-1}, m_j) with m_j = clip(floor(N cum_j - u0) + 1, 0, N), so
-    scattering 1 at each range start and prefix-summing yields exactly the
-    searchsorted(cum, positions) indices (validated element-exact). jax's
-    searchsorted lowers to a sequential log2(N)-step binary-search scan of
-    dynamic gathers — measured ~80% of the whole batched filter's runtime;
-    the scatter form is O(N) parallel work (round-3 PF bench fix)."""
+    TPU-native formulation (round 4): the resampled cloud is ONE one-hot
+    matmul — out[i] = sum_j 1[m_{j-1} <= i < m_j] p[j] — built from pure
+    broadcast comparisons on the integer slot boundaries. No scatter, no
+    gather, no index vector at all: under vmap, TPU lowers batched
+    scatter-adds (2.35 ms/step) and batched gathers (3.2 ms/step) to
+    crawling loops, while the one-hot contraction runs on the MXU
+    (~0.23 ms/step at B=256 x N=1024) — measured 99% of the whole batched
+    filter's runtime before this change (scripts/pf_resample_micro.py,
+    v5e 2026-08-21; the r3 scatter form had already replaced searchsorted,
+    itself a sequential binary-search scan). The slot math is integer-
+    identical to searchsorted resampling (verify check)."""
     N = parts.shape[0]
-    w = jnp.exp(logw - jax.scipy.special.logsumexp(logw))
-    u0 = jax.random.uniform(key, (), w.dtype)
-    cum = jnp.cumsum(w)
-    cum = cum / cum[-1]  # exact 1.0 endpoint under fp32
-    m = jnp.clip(jnp.floor(N * cum - u0).astype(jnp.int32) + 1, 0, N)
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), m[:-1]])
-    hits = jnp.zeros((N,), jnp.int32).at[starts].add(1, mode="drop")
-    idx = jnp.cumsum(hits) - 1
-    return parts[idx], jnp.full((N,), -jnp.log(jnp.asarray(N, w.dtype)))
+    m = _resample_slots(key, logw, N)
+    m_prev = jnp.concatenate([jnp.zeros((1,), m.dtype), m[:-1]])
+    i_idx = jnp.arange(N)
+    oh = jnp.logical_and(i_idx[:, None] >= m_prev[None, :],
+                         i_idx[:, None] < m[None, :])
+    new_parts = oh.astype(parts.dtype) @ parts
+    return new_parts, jnp.full((N,), -jnp.log(jnp.asarray(N, logw.dtype)))
 
 
 def particle_filter(

@@ -208,20 +208,22 @@ def particle_filter_dp(
         logw0 = jnp.full((N_loc,), -logN)
 
         def resample_global(k_res, parts, logw):
-            # gather the cloud, rebuild the systematic index map exactly
-            # as models/particle._systematic_resample, keep local rows
+            # gather the cloud, rebuild the GLOBAL slot boundaries exactly
+            # as models/particle._systematic_resample, then each device
+            # computes only ITS row block of the one-hot contraction (the
+            # r4 TPU formulation — no scatter, no gather; see
+            # _systematic_resample docstring)
+            from numpower_tpu.models.particle import _resample_slots
+
             parts_g = lax.all_gather(parts, ax, tiled=True)   # (N, n)
             logw_g = lax.all_gather(logw, ax, tiled=True)     # (N,)
-            w = jnp.exp(logw_g - jax.scipy.special.logsumexp(logw_g))
-            u0 = jax.random.uniform(k_res, (), w.dtype)
-            cum = jnp.cumsum(w)
-            cum = cum / cum[-1]
-            mh = jnp.clip(jnp.floor(N * cum - u0).astype(jnp.int32) + 1,
-                          0, N)
-            starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), mh[:-1]])
-            hits = jnp.zeros((N,), jnp.int32).at[starts].add(1, mode="drop")
-            idx = jnp.cumsum(hits) - 1
-            return slice_rows(parts_g[idx]), jnp.full((N_loc,), -logN)
+            mh = _resample_slots(k_res, logw_g, N)
+            m_prev = jnp.concatenate([jnp.zeros((1,), mh.dtype), mh[:-1]])
+            i_loc = row0 + jnp.arange(N_loc)                  # global rows
+            oh = jnp.logical_and(i_loc[:, None] >= m_prev[None, :],
+                                 i_loc[:, None] < mh[None, :])
+            return oh.astype(parts_g.dtype) @ parts_g, jnp.full(
+                (N_loc,), -logN)
 
         def step(carry, inputs):
             parts, logw, ll, key = carry
