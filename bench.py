@@ -3,12 +3,17 @@
 
 Headline metric (BASELINE.json): MPC solves/s/chip for the 4096-scenario
 horizon-30 quadrotor box-constrained QP (config #4), target >=10,000 with a
-10 ms p50 latency budget. Prints ONE JSON line on stdout:
+10 ms p50 latency budget. The LAST stdout line is a compact JSON summary:
 
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "verify_pass": bool, "verify_checks": "13/13", "rows_file": ...}
 
-vs_baseline is value / 10_000 (the BASELINE north-star target; the reference
-itself publishes no numbers — BASELINE.md).
+and the FULL certify payload (every BASELINE section row, plausibility-gated
+with relay-artifact markers, plus per-check verify verdicts with error
+strings) is written to CERTIFY.json at the repo root — the driver's stdout
+tail window is 2000 chars, which round 4's all-rows-in-one-line JSON
+overflowed (VERDICT r4 #1). vs_baseline is value / 10_000 (the BASELINE
+north-star target; the reference itself publishes no numbers — BASELINE.md).
 
 Details (all configs, latency percentiles) go to stderr. `--full` runs every
 BASELINE config; `--quick` shrinks shapes for CPU smoke tests.
@@ -19,6 +24,7 @@ from __future__ import annotations
 import argparse
 import faulthandler
 import json
+import os
 import signal
 import sys
 import time
@@ -97,9 +103,86 @@ def _device_time_per_call(body_fn, args, K: int = 64, reps: int = 5,
     med = max(
         (float(np.median(body_ts)) - float(np.median(base_ts))) / K, 1e-9)
     if return_stats:
-        q25, q75 = np.percentile(np.asarray(body_ts) / K, [25, 75])
+        # IQR of the baseline-subtracted per-call estimates, so median and
+        # IQR describe the SAME quantity (advisor r4: raw body_ts/K folds
+        # the no-op baseline/readback into the spread and overstates noise
+        # on small quantities).
+        diffs = (np.asarray(body_ts) - float(np.median(base_ts))) / K
+        q25, q75 = np.percentile(diffs, [25, 75])
         return med, float(q75 - q25)
     return med
+
+
+# Plausibility bands per certify row (VERDICT r4 #2): (lo, hi) in the row's
+# own unit. These catch relay-drift ARTIFACTS — the driver's r4 capture
+# recorded a 16.2 us flagship (266% of the 42.9 us speed-of-light), a 33 us
+# 256-batch latency (builder range 2.3-4.5), and a 108M solves/s ADMM row
+# (above the 100M SoL ceiling) with no marker. Bounds are loose (real
+# improvements land INSIDE them; lo on us-rows sits just under the
+# utils/flops.py speed-of-light, hi on rate-rows just over it). A row
+# outside its band triggers ONE re-measure of its section; if still outside
+# it is emitted with "artifact": true + the band, never as a bare number.
+PLAUSIBILITY_BANDS = {
+    "fista_flagship_us_per_batch": (44.0, 400.0),   # SoL ~51 us @40 iters
+    "fista_flagship_solves_per_sec": (1e7, 9.5e7),
+    "fista_mfu": (0.0, 1.0),
+    "admm_flagship_us_per_batch": (40.0, 400.0),    # SoL 42.9 us @40 iters
+    "admm_flagship_solves_per_sec": (1e7, 1.03e8),
+    "admm_mfu": (0.0, 1.0),
+    "latency_256batch_us": (0.3, 20.0),
+    "config1_lqr_us": (15.0, 500.0),
+    "config2_riccati_solves_per_sec": (8e5, 2e7),
+    "config2b_fused_riccati_solves_per_sec": (4e5, 1e7),
+    "riccati_assoc_ms": (1.2, 15.0),
+    "riccati_assoc_speedup": (2.0, 40.0),
+    "config3_ilqr_ms": (0.8, 12.0),
+    "config3b_batched_ilqr_solves_per_sec": (5e4, 1e6),
+    "ilqr_backward_fused_ms": (0.001, 0.5),
+    "tube_sweep_rollouts_per_sec": (2e7, 2.5e8),
+    "serving_fista_tick_us": (15.0, 300.0),
+    "serving_admm_tick_us": (15.0, 300.0),
+    "solvers_admm_solves_per_sec": (1e7, 1.03e8),   # SoL ceiling ~100M
+    "al_ilqr_solves_per_sec": (3e4, 8e5),
+    "mppi_rollouts_per_sec": (1e7, 2e8),
+    "kalman_batched_updates_per_sec": (1e9, 4e10),
+    "pf_particle_steps_per_sec": (5e7, 2e9),
+    "ukf_updates_per_sec": (2e6, 5e7),
+    "kalman_assoc_ms": (0.25, 6.0),
+    "kalman_assoc_speedup": (4.0, 60.0),
+    "shardmap_overhead_pct": (-3.0, 60.0),
+}
+
+
+def _rows_out_of_band(rows: dict) -> dict:
+    """Row keys whose values fall outside PLAUSIBILITY_BANDS → (value, lo, hi)."""
+    bad = {}
+    for k, (v, _u) in rows.items():
+        band = PLAUSIBILITY_BANDS.get(k)
+        if band and not (band[0] <= float(v) <= band[1]):
+            bad[k] = (float(v), band[0], band[1])
+    return bad
+
+
+def _gated_section(name: str, fn, artifacts: dict, enabled: bool = True) -> dict:
+    """Run a certify section; if any row is physically implausible, re-measure
+    the WHOLE section once (relay-stall defense); rows still outside their
+    band after the retry are recorded in `artifacts` (VERDICT r4 #2).
+    `enabled=False` (CPU smoke) skips gating — the bands are TPU-calibrated."""
+    if not enabled:
+        return fn() or {}
+    rows = fn() or {}
+    bad = _rows_out_of_band(rows)
+    if bad:
+        for k, (v, lo, hi) in bad.items():
+            _log(f"[gate] IMPLAUSIBLE {k}={v:.6g} outside [{lo:g}, {hi:g}] "
+                 f"— re-measuring section {name}")
+        rows = fn() or rows
+        bad = _rows_out_of_band(rows)
+        for k, (v, lo, hi) in bad.items():
+            _log(f"[gate] STILL IMPLAUSIBLE after re-measure: {k}={v:.6g} "
+                 f"outside [{lo:g}, {hi:g}] — marking as relay artifact")
+            artifacts[k] = [lo, hi]
+    return rows
 
 
 def bench_flagship(scenarios: int, horizon: int, iters: int, reps: int):
@@ -298,9 +381,13 @@ def bench_lqr(horizon: int, reps: int) -> dict:
             Aq_j, Bq_j, Qq, Rq, QF_ + i * 1e-6, T_long)[0][0, 0, 0],
         (QFq_j,), K=8, reps=max(2, reps // 3),
     )
+    # nopivot=True: explicit opt-in (1.11x) — the quadrotor combine chain is
+    # well-conditioned; the library default is the pivoted solver (advisor
+    # r4: PSD factors do not bound unpivoted pivots on general inputs).
     t_ra = _device_time_per_call(
         lambda QF_, i: riccati_associative(
-            Aq_j, Bq_j, Qq, Rq, QF_ + i * 1e-6, T_long)[0][0, 0, 0],
+            Aq_j, Bq_j, Qq, Rq, QF_ + i * 1e-6, T_long,
+            nopivot=True)[0][0, 0, 0],
         (QFq_j,), K=32, reps=max(2, reps // 3),
     )
     _log(
@@ -540,8 +627,32 @@ def bench_estimation(scenarios: int, reps: int):
         f"(pendulum): {t*1e3:.2f} ms/batch -> {N_pf/t:,.0f} filters/s "
         f"({N_pf*P_pf*T_pf/t/1e6:.0f}M particle-steps/s)"
     )
-    _log(roofline_report(f"particle filter {N_pf}x{P_pf} T={T_pf}",
-                         particle_filter_cost(N_pf, P_pf, T_pf, 2, 1), t))
+    # split roofline (advisor r4): propagate/weight is VPU/HBM-class; the
+    # r4 one-hot resampler is an O(Np^2) MXU contraction — the old single
+    # gather-based model understated the work ~100x, making its printed
+    # utilization meaningless
+    from numpower_tpu.utils.flops import (
+        peak_hbm_gbps, peak_tflops, pf_resample_cost, vpu_peak_tflops,
+    )
+
+    prop_c = particle_filter_cost(N_pf, P_pf, T_pf, 2, 1)
+    res_c = pf_resample_cost(N_pf, P_pf, T_pf, 2)
+    hbm_pk, vpu_pk, mxu_pk = peak_hbm_gbps(), vpu_peak_tflops(), peak_tflops()
+    if hbm_pk and vpu_pk and mxu_pk:
+        sol_prop = prop_c.sol_seconds(hbm_pk, vpu_pk)
+        sol_res = res_c.sol_seconds(mxu_pk)
+        util = (sol_prop + sol_res) / t
+        flag = (" [IMPOSSIBLE >100%: relay-drift artifact, discard]"
+                if util > 1.0 else "")
+        _log(f"[roofline] particle filter {N_pf}x{P_pf} T={T_pf} split: "
+             f"propagate SoL {sol_prop*1e3:.2f} ms (VPU/HBM) + resample "
+             f"SoL {sol_res*1e3:.2f} ms (one-hot MXU, n-pad "
+             f"{100*res_c.padding_waste:.0f}% waste) vs measured "
+             f"{t*1e3:.2f} ms -> {100*util:.0f}% of combined roofline"
+             f"{flag}")
+    else:
+        _log(roofline_report(f"particle filter {N_pf}x{P_pf} T={T_pf} "
+                             f"(propagate only)", prop_c, t))
     rows["pf_particle_steps_per_sec"] = (N_pf * P_pf * T_pf / t, "steps/s")
 
     # vmapped UKF (nonlinear estimator lineup; the per-step sigma-point
@@ -956,7 +1067,7 @@ def bench_scaling(scenarios: int, reps: int):
         )
 
 
-def run_verify(scenarios: int, horizon: int) -> bool:
+def run_verify(scenarios: int, horizon: int):
     """On-TPU verification pass (VERDICT r2 missing #1/#2): executes the
     COMPILED Mosaic kernels (not interpret mode), the sharded solvers over a
     real-chip mesh, jitted eig via pure_callback, and the serving
@@ -970,16 +1081,32 @@ def run_verify(scenarios: int, horizon: int) -> bool:
     results = []
 
     def check(name, fn):
+        # One retry per check (VERDICT r4 #3): a relay flake (stalled
+        # readback, transient Mosaic launch failure) must not record a
+        # bare False — and when a check REALLY fails, the exception text
+        # must survive into the JSON, not just a stderr line that scrolls
+        # out of the driver's 2000-char tail window.
         t0 = time.perf_counter()
-        try:
-            detail = fn()
-            results.append((name, True))
-            _log(f"[verify] PASS {name}: {detail} "
-                 f"({time.perf_counter()-t0:.1f}s)")
-        except Exception as e:  # noqa: BLE001 — report, never crash the pass
-            results.append((name, False))
-            _log(f"[verify] FAIL {name}: {type(e).__name__}: {e} "
-                 f"({time.perf_counter()-t0:.1f}s)")
+        first_err = None
+        for attempt in (1, 2):
+            try:
+                detail = fn()
+                results.append((name, {
+                    "ok": True,
+                    "err": None if attempt == 1 else
+                    f"retry ok; first: {first_err}",
+                }))
+                note = "" if attempt == 1 else " [passed on retry]"
+                _log(f"[verify] PASS {name}: {detail}{note} "
+                     f"({time.perf_counter()-t0:.1f}s)")
+                return
+            except Exception as e:  # noqa: BLE001 — report, never crash
+                err = f"{type(e).__name__}: {e}"
+                _log(f"[verify] FAIL {name} (attempt {attempt}): {err} "
+                     f"({time.perf_counter()-t0:.1f}s)")
+                if first_err is None:
+                    first_err = err[:300]
+        results.append((name, {"ok": False, "err": first_err}))
 
     interp = jax.default_backend() not in ("tpu", "axon")
     mode = "interpret(CPU)" if interp else "COMPILED(TPU)"
@@ -1240,7 +1367,14 @@ def run_verify(scenarios: int, horizon: int) -> bool:
         d1 = float(jnp.max(jnp.abs(Ks_a - Ks_s)))
         d2 = float(jnp.max(jnp.abs(Ps_a - Ps_s)) / jnp.max(jnp.abs(Ps_s)))
         assert d1 < 1e-3 and d2 < 1e-4, f"gains {d1:.2e}, P rel {d2:.2e}"
-        return f"T={Tq} gains {d1:.1e}, P rel {d2:.1e}"
+        # the bench's timed path opts into the unpivoted combine — verify
+        # it compiled on this backend too (well-conditioned regime)
+        Ks_n, _ = jax.jit(riccati_associative,
+                          static_argnums=(5, 6))(Aj, Bj, Qq, Rq, QFq, Tq,
+                                                 True)
+        d3 = float(jnp.max(jnp.abs(Ks_n - Ks_s)))
+        assert d3 < 1e-3, f"nopivot gains {d3:.2e}"
+        return f"T={Tq} gains {d1:.1e}, P rel {d2:.1e}, nopivot {d3:.1e}"
 
     def v_kalman_associative():
         from numpower_tpu.models.estimation import (
@@ -1395,7 +1529,7 @@ def run_verify(scenarios: int, horizon: int) -> bool:
     # raise on the traced path — keep every other verdict printed first
     check("jit_eig", v_jit_eig)
 
-    n_pass = sum(ok for _, ok in results)
+    n_pass = sum(r["ok"] for _, r in results)
     _log(f"[verify] {n_pass}/{len(results)} checks passed ({mode})")
     return n_pass == len(results), dict(results)
 
@@ -1450,8 +1584,19 @@ def main():
         }))
         sys.exit(0 if ok else 1)
 
-    solves_per_sec, p50, all_rows = bench_flagship(
-        scenarios, args.horizon, args.iters, reps)
+    # Flagship, plausibility-gated like every section (VERDICT r4 #2: the
+    # r4 driver capture recorded a 266%-of-speed-of-light flagship row).
+    artifacts: dict = {}
+    gate_on = dev.platform in ("tpu", "axon")  # bands are TPU-calibrated
+    _flag_state = {}
+
+    def _run_flagship():
+        s, p, r = bench_flagship(scenarios, args.horizon, args.iters, reps)
+        _flag_state["headline"] = (s, p)
+        return r
+
+    all_rows = _gated_section("flagship", _run_flagship, artifacts, gate_on)
+    solves_per_sec, p50 = _flag_state["headline"]
 
     # Certification pass (r3 verdict next-round #1): the driver's plain
     # `python bench.py` must capture the WHOLE round — every table row
@@ -1467,9 +1612,7 @@ def main():
         # the final JSON prints, nothing is recorded. Sections are
         # skipped (and marked) once the budget is spent; the verify pass
         # gets a reserved slice. Override with NPTPU_CERTIFY_BUDGET_S.
-        import os as _os
-
-        budget_s = float(_os.environ.get("NPTPU_CERTIFY_BUDGET_S", 1800))
+        budget_s = float(os.environ.get("NPTPU_CERTIFY_BUDGET_S", 1800))
         t_start = time.perf_counter()
         certify_reps = min(reps, 5)
         sections = [
@@ -1497,7 +1640,7 @@ def main():
                 continue
             t0 = time.perf_counter()
             try:
-                all_rows.update(fn() or {})
+                all_rows.update(_gated_section(name, fn, artifacts, gate_on))
             except Exception as e:  # noqa: BLE001 — capture, don't crash
                 _log(f"[certify] SECTION FAILED {name}: "
                      f"{type(e).__name__}: {e}")
@@ -1531,21 +1674,78 @@ def main():
         bench_micro(reps)
 
     target = 10_000.0  # BASELINE north star: solves/s/chip
-    out = {
+
+    # Headline = best flagship path whose row survived the plausibility
+    # gate; if both paths are artifact-flagged, say so rather than print
+    # an impossible number as the round's result.
+    plausible = [
+        float(all_rows[k][0])
+        for k in ("fista_flagship_solves_per_sec",
+                  "admm_flagship_solves_per_sec")
+        if k in all_rows and k not in artifacts
+    ]
+    headline_artifact = bool(all_rows) and not plausible
+    if plausible:
+        solves_per_sec = max(plausible)
+
+    full = {
         "metric": "mpc_solves_per_sec_per_chip",
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / target, 3),
     }
     if all_rows:
-        out["rows"] = {
-            k: {"value": round(float(v), 3), "unit": u}
-            for k, (v, u) in all_rows.items()
-        }
+        rows_json = {}
+        for k, (v, u) in all_rows.items():
+            entry = {"value": round(float(v), 3), "unit": u}
+            if k in artifacts:
+                entry["artifact"] = True
+                entry["band"] = artifacts[k]
+            rows_json[k] = entry
+        full["rows"] = rows_json
     if verify_info is not None:
-        out["verify_pass"] = bool(verify_info["pass"])
-        out["verify"] = verify_info["checks"]
-    print(json.dumps(out))
+        full["verify_pass"] = bool(verify_info["pass"])
+        full["verify"] = verify_info["checks"]
+
+    # Capture contract (VERDICT r4 #1): round 4's all-rows-in-one-line JSON
+    # outgrew the driver's 2000-char stdout tail window — the driver parsed
+    # NOTHING. The full certify payload now goes to CERTIFY.json (committed
+    # repo artifact) and stderr; stdout's LAST line is a compact (<400 char)
+    # summary the tail window always contains.
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "CERTIFY.json")
+        with open(path, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+        _log(f"[certify] full payload -> CERTIFY.json "
+             f"({len(full.get('rows', {}))} rows, "
+             f"{len(artifacts)} artifact-flagged)")
+    except OSError as e:  # read-only checkout must not kill the capture
+        _log(f"[certify] could not write CERTIFY.json: {e}")
+    _log("[certify] full JSON: " + json.dumps(full))
+
+    compact = {
+        "metric": "mpc_solves_per_sec_per_chip",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / target, 3),
+    }
+    if headline_artifact:
+        compact["artifact"] = True
+    if verify_info is not None:
+        checks = verify_info["checks"]
+        n_ok = sum(c["ok"] for c in checks.values())
+        compact["verify_pass"] = bool(verify_info["pass"])
+        compact["verify_checks"] = f"{n_ok}/{len(checks)}"
+        failed = [n for n, c in checks.items() if not c["ok"]]
+        if failed:
+            compact["verify_failed"] = failed[:4]
+    if all_rows:
+        compact["rows_file"] = "CERTIFY.json"
+        compact["rows_n"] = len(all_rows)
+        compact["artifact_rows"] = len(artifacts)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -218,6 +218,14 @@ def kalman_filter_batched(A, C, Q, R, x0s, P0, yss, B=None, uss=None,
     c0 = jnp.asarray(p * jnp.log(2.0 * jnp.pi), dt)
 
     if mean_chunk and mean_chunk > 1:
+        # the inverse prefix products inside a chunk grow geometrically —
+        # measured 4e-2 mean deviation at L=T=50 (docstring); refuse
+        # silently-wrong results outside the supported envelope
+        if mean_chunk > 16:
+            raise ValueError(
+                f"mean_chunk={mean_chunk} exceeds the supported envelope "
+                f"(<= 16): fp32 inverse prefix products blow up with chunk "
+                f"length (measured 4e-2 deviation at L=50)")
         xs_f, xs_p, ll = _mean_pass_chunked(
             A, C, x0s, ys_t, us_t, Ws, invLs, logdets, c0,
             int(mean_chunk))
@@ -570,8 +578,11 @@ def _kf_combine(ei: _KFElement, ej: _KFElement,
     """Combine earlier element i with later element j (associative).
 
     solve: denominator solver (default utils/smallmat.solve_small);
-    lu_solve_nopivot is valid here too — both denominators I + C_i J_j
-    and I + J_j C_i have PSD factors, so eigenvalues stay >= 1."""
+    lu_solve_nopivot is usable here for well-conditioned chains — both
+    denominators I + C_i J_j and I + J_j C_i have PSD factors so their
+    EIGENVALUES stay >= 1, but unpivoted elimination pivots are not
+    eigenvalues and can still underflow on ill-conditioned inputs
+    (advisor r4; see lu_solve_nopivot's envelope)."""
     if solve is None:
         solve = _solve_small
     n = ei.A.shape[-1]
@@ -678,7 +689,7 @@ def kalman_filter_associative(
     ys: jax.Array,
     B: Optional[jax.Array] = None,
     us: Optional[jax.Array] = None,
-    nopivot: bool = True,
+    nopivot: bool = False,
 ) -> KalmanResult:
     """Parallel-in-time Kalman filter: O(log T) depth associative scan.
 
@@ -688,11 +699,14 @@ def kalman_filter_associative(
     prefix composition runs as lax.associative_scan, and prediction/
     log-likelihood are recovered with one trailing vmap.
 
-    Combine denominators route through the unpivoted unrolled LU by
-    default (fusion-friendly; safe by construction — I + CJ with PSD
-    factors keeps pivots >= 1; measured 1.13x at n=12 T=4096 on v5e with
-    4.3e-6 parity, scripts/assoc_ab.py). nopivot=False restores the
-    pivoted solver. n <= 3 systems use the adjugate either way.
+    nopivot=True routes the combine denominators through the unpivoted
+    unrolled LU (fusion-friendly; measured 1.13x at n=12 T=4096 on v5e
+    with 4.3e-6 parity, scripts/assoc_ab.py) — an OPT-IN lever for
+    well-conditioned chains only: PSD factors bound the denominator's
+    eigenvalues, not its unpivoted pivots, and ill-conditioned inputs
+    can NaN or lose digits (advisor r4; lu_solve_nopivot's docstring has
+    the measured envelope). The default pivoted solver handles any
+    invertible denominator. n <= 3 systems use the adjugate either way.
     """
     T, p = ys.shape
     n = x0.shape[0]

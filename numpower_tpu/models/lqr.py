@@ -80,8 +80,11 @@ def _combine(ei: _RiccatiElement, ej: _RiccatiElement,
     batched LU runs per-matrix pivot loops and made the associative scan
     no faster than the sequential recursion at n=12: 29.1 vs 29.3 ms,
     T=4096, v5e 2026-08-21). Pass lu_solve_nopivot for the fusion-friendly
-    unpivoted form — valid here because C, J are PSD so I + CJ has
-    eigenvalues >= 1."""
+    unpivoted form ONLY when the combine chain is known well-conditioned:
+    C, J PSD makes eig(CJ) >= 0, but unpivoted elimination pivots are NOT
+    eigenvalues — ill-conditioned denominators can produce tiny/underflowed
+    pivots and NaN or O(10%) fp32 error (advisor r4 Monte-Carlo; see
+    lu_solve_nopivot's docstring for the measured envelope)."""
     n = ei.F.shape[-1]
     I = jnp.eye(n, dtype=ei.F.dtype)
     if solve is None:
@@ -99,21 +102,24 @@ def _combine(ei: _RiccatiElement, ej: _RiccatiElement,
 
 
 def riccati_associative(A, B, Q, R, QF, horizon: int,
-                        nopivot: bool = True):
+                        nopivot: bool = False):
     """Parallel-in-time Riccati: O(log T) depth associative scan.
 
     Produces the same (Ks, Ps) as riccati_scan (fp32 tolerance). Useful when
     the horizon is long (T >= 128) or when horizon stages are sharded across
     devices; for T~30 the sequential scan is typically faster.
 
-    The combine denominators route through the unpivoted unrolled LU by
-    default (utils/smallmat.lu_solve_nopivot — every elimination op
-    fuses; the pivoted form's masked argmax breaks fusion per column).
-    Safe by construction here: the denominators are I + CJ with C, J PSD,
-    so every pivot stays >= 1. Measured 1.11x at T=4096 n=12 on v5e
-    (3.62 -> 3.26 ms, parity < 1e-3 asserted on-device; companion
-    12-state associative KF 1.13x — scripts/assoc_ab.py, 2026-08-21);
-    nopivot=False restores the pivoted solver.
+    nopivot=True routes the combine denominators through the unpivoted
+    unrolled LU (utils/smallmat.lu_solve_nopivot — every elimination op
+    fuses; the pivoted form's masked argmax breaks fusion per column):
+    measured 1.11x at T=4096 n=12 on v5e (3.62 -> 3.26 ms, parity < 1e-3
+    asserted on-device; companion 12-state associative KF 1.13x —
+    scripts/assoc_ab.py, 2026-08-21). It is an OPT-IN perf lever for
+    well-conditioned problems (the benched quadrotor/KF regimes): C, J
+    PSD does NOT bound the unpivoted pivots — ill-conditioned I + CJ can
+    underflow a pivot and NaN or lose several digits (advisor r4
+    Monte-Carlo, documented in lu_solve_nopivot). The default is the
+    pivoted solver, which handles any invertible denominator.
     """
     n = A.shape[-1]
     solve = None

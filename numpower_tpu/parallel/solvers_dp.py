@@ -71,7 +71,11 @@ def mhe_solve_dp(A, C, Q, R, P0, x_priors, yss, mesh: Mesh,
         return res, worst
 
     if uss is None:
-        uss = jnp.zeros(yss.shape[:2] + (1,), yss.dtype)
+        # zero inputs; the input dim must match B's columns when B is given
+        # (advisor r4: a fabricated 1-column uss mismatches a wider B at
+        # trace time inside mhe_solve)
+        m = B.shape[1] if B is not None else 1
+        uss = jnp.zeros(yss.shape[:2] + (m,), yss.dtype)
         if B is None:
             B = jnp.zeros((A.shape[0], 1), A.dtype)
 

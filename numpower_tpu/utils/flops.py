@@ -250,13 +250,31 @@ def ilqr_backward_cost(N: int, T: int, n: int, m: int) -> RooflineCost:
 
 def particle_filter_cost(B: int, Np: int, T: int, n: int, p: int,
                          plant_flops: int = 40) -> RooflineCost:
-    """models/particle.particle_filter_batched: per particle-step one
-    plant eval (~plant_flops), a noise matmul (2n^2), weighting
-    (2np + p^2), and the resample gather; bytes: cloud read+write per
-    step plus one more read+write for the resampling gather."""
-    step = plant_flops + 2 * n * n + 2 * n * p + p * p + 8
+    """models/particle.particle_filter_batched — PROPAGATE/WEIGHT component
+    only (VPU/HBM-class): per particle-step one plant eval (~plant_flops),
+    a noise matmul (2n^2), weighting (2np + p^2); bytes: cloud read+write
+    per step plus one more read+write feeding the resampler. The r4
+    one-hot resampling contraction is MXU-class O(Np^2) work and is
+    modeled separately (pf_resample_cost) — folding it in here as a
+    gather understated the real work ~100x at Np=1024 (advisor r4)."""
+    step = plant_flops + 2 * n * n + 2 * n * p + p * p
     bytes_moved = 4.0 * B * Np * T * n * 4.0
     return RooflineCost(float(B * Np * T * step), float(bytes_moved))
+
+
+def pf_resample_cost(B: int, Np: int, T: int, n: int) -> KernelCost:
+    """models/particle._systematic_resample (r4 one-hot MXU contraction):
+    per step one (Np, Np) @ (Np, n) matmul per trajectory = 2 B Np^2 n
+    FLOPs. Under vmap the ESS lax.cond lowers to a select, so the
+    contraction executes EVERY step — T steps are charged. Padding: the
+    n-dim rides the 128-lane axis (n=2 -> 128 is a 64x pad at the bench
+    shape); the one-hot operand is built in fp32 from comparisons and the
+    contraction runs single-pass class (the 0/1 operand is exact in
+    bf16)."""
+    n_pad = _round_up(n, 128)
+    logical = 2.0 * B * Np * Np * n * T
+    padded = 2.0 * B * Np * Np * n_pad * T
+    return KernelCost(logical, padded, padded * PASSES["bf16"])
 
 
 def roofline_report(label: str, cost: RooflineCost,

@@ -197,12 +197,21 @@ def lu_solve_nopivot(M, rhs):
     breaks fusion ~6x per column.
 
     ONLY for matrices known a priori to have stable unpivoted
-    elimination: the associative-combine denominators I + C J with C, J
-    PSD (eigenvalues of CJ are >= 0, diagonal stays >= 1 throughout) are
-    the intended use. A zero/small leading pivot (e.g. permutation-like
-    M) silently produces inf/NaN — use lu_solve_unrolled there. Accuracy
-    on the combine algebra measured within ~2x of the pivoted form
-    (tests/test_smallmat.py::test_lu_nopivot_on_combine_algebra)."""
+    elimination. The intended use is the associative-combine denominators
+    I + C J with C, J PSD from WELL-CONDITIONED control/estimation
+    problems (the benched quadrotor Riccati and KF chains, where accuracy
+    measured within ~2x of the pivoted form —
+    tests/test_smallmat.py::test_lu_nopivot_on_combine_algebra).
+
+    The envelope is conditioning, not structure (advisor r4): C, J PSD
+    makes eig(CJ) >= 0, but elimination pivots are NOT eigenvalues —
+    Monte-Carlo over random PSD C, J found negative intermediate pivots
+    (-4e8), |pivot| down to 3e-3, fp32 pivots underflowing to exactly 0
+    (NaN solves in ~0.4% of trials), and at kappa(I + CJ) in 1e2-1e6 up
+    to ~13% relative error (~1800x the pivoted solver). A zero/small
+    pivot (e.g. permutation-like M) silently produces inf/NaN. For
+    anything not known well-conditioned use lu_solve_unrolled (partial
+    pivoting), which the associative engines default to."""
     n = M.shape[-1]
     vec = rhs.ndim == M.ndim - 1
     if vec:
