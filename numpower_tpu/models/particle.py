@@ -53,7 +53,16 @@ def _resample_slots(key, logw, N: int):
     return jnp.clip(jnp.floor(N * cum - u0).astype(jnp.int32) + 1, 0, N)
 
 
-def _systematic_resample(key, parts, logw):
+# Above this particle count the O(N^2) one-hot contraction loses to the
+# scatter+gather construction (see _systematic_resample's envelope note);
+# "auto" switches there. Measured on v5e 2026-08-21 at constant B*N=262k
+# (scripts/pf_resample_micro.py --sweep): one-hot 0.57/1.17/2.49/4.97/10.2
+# ms/step at N=1k/2k/4k/8k/16k vs gather flat ~5.6 ms/step — one-hot wins
+# 9.9x at 1k, 1.1x at 8k, loses 1.8x at 16k.
+RESAMPLE_ONEHOT_MAX_N = 8192
+
+
+def _systematic_resample(key, parts, logw, method: str = "auto"):
     """Systematic resampling: one uniform offset, N evenly spaced positions
     through the CDF — lower conditional variance than multinomial and fully
     static-shaped.
@@ -68,15 +77,40 @@ def _systematic_resample(key, parts, logw):
     filter's runtime before this change (scripts/pf_resample_micro.py,
     v5e 2026-08-21; the r3 scatter form had already replaced searchsorted,
     itself a sequential binary-search scan). The slot math is integer-
-    identical to searchsorted resampling (verify check)."""
+    identical to searchsorted resampling (verify check).
+
+    ENVELOPE (r4 verdict #4): the one-hot contraction is O(N^2 n_pad)
+    MXU work — quadratic in the particle count, with the state dim padded
+    to 128 lanes — while the scatter+gather construction is ~O(N) with a
+    large lowering constant. Measured per-step times at constant
+    B*N = 262k (v5e, scripts/pf_resample_micro.py --sweep, 2026-08-21):
+    one-hot 0.57 -> 10.2 ms/step from N=1k to 16k (doubling per octave,
+    as the quadratic model predicts) vs gather flat at ~5.6 ms/step;
+    crossover between N=8k (one-hot 1.1x faster) and 16k (gather 1.8x
+    faster). method="auto" uses the one-hot through
+    N <= RESAMPLE_ONEHOT_MAX_N (8192) and the gather construction past
+    it; "onehot"/"gather" force a path."""
     N = parts.shape[0]
     m = _resample_slots(key, logw, N)
+    if method == "auto":
+        method = "onehot" if N <= RESAMPLE_ONEHOT_MAX_N else "gather"
+    uniform = jnp.full((N,), -jnp.log(jnp.asarray(N, logw.dtype)))
+    if method == "gather":
+        # r3 construction: scatter-add a 1 at each particle's first output
+        # slot (particles with zero slots collapse onto the next start and
+        # accumulate), cumsum-1 gives the monotone source index, then one
+        # gather. O(N) work; the batched gather's lowering constant is what
+        # the one-hot beats at small N.
+        m_prev = jnp.concatenate([jnp.zeros((1,), m.dtype), m[:-1]])
+        hits = jnp.zeros((N,), jnp.int32).at[m_prev].add(1, mode="drop")
+        idx = jnp.cumsum(hits) - 1
+        return parts[idx], uniform
     m_prev = jnp.concatenate([jnp.zeros((1,), m.dtype), m[:-1]])
     i_idx = jnp.arange(N)
     oh = jnp.logical_and(i_idx[:, None] >= m_prev[None, :],
                          i_idx[:, None] < m[None, :])
     new_parts = oh.astype(parts.dtype) @ parts
-    return new_parts, jnp.full((N,), -jnp.log(jnp.asarray(N, logw.dtype)))
+    return new_parts, uniform
 
 
 def particle_filter(
@@ -91,11 +125,14 @@ def particle_filter(
     key: jax.Array,       # jax.random key
     n_particles: int = 1024,
     resample_threshold: float = 0.5,
+    resample_method: str = "auto",
 ) -> ParticleFilterResult:
     """Bootstrap particle filter. Resamples (systematic) when
     ESS < resample_threshold * n_particles; threshold 1.0 forces every step,
     0.0 never resamples. jit-compatible (static n_particles); vmap over
-    (x0, ys, us, key) for batched trajectories."""
+    (x0, ys, us, key) for batched trajectories. resample_method:
+    "auto" (one-hot MXU contraction up to N=4096, gather past it — see
+    _systematic_resample's envelope), "onehot", or "gather"."""
     n = x0.shape[0]
     p = ys.shape[1]
     dt = x0.dtype
@@ -140,7 +177,8 @@ def particle_filter(
         cov = (w[:, None] * d).T @ d
         parts, logw = lax.cond(
             ess < thr,
-            lambda a: _systematic_resample(k_res, *a),
+            lambda a: _systematic_resample(k_res, *a,
+                                           method=resample_method),
             lambda a: a,
             (parts, logw),
         )
@@ -162,11 +200,13 @@ def particle_filter_batched(
     key: jax.Array,
     n_particles: int = 1024,
     resample_threshold: float = 0.5,
+    resample_method: str = "auto",
 ) -> ParticleFilterResult:
     """vmap over trajectories with independent per-trajectory key streams."""
     keys = jax.random.split(key, x0s.shape[0])
     return jax.vmap(
         lambda x0, ys, us, k: particle_filter(
             f, h, Q, R, x0, P0, ys, us, k,
-            n_particles=n_particles, resample_threshold=resample_threshold)
+            n_particles=n_particles, resample_threshold=resample_threshold,
+            resample_method=resample_method)
     )(x0s, yss, uss, keys)

@@ -159,6 +159,7 @@ def particle_filter_dp(
     n_particles: int = 1024,
     resample_threshold: float = 0.5,
     axis: Optional[str] = None,
+    resample_method: str = "auto",
 ) -> ParticleFilterResult:
     """Bootstrap particle filter with the particle cloud sharded over one
     mesh axis (default: the first/data axis).
@@ -168,12 +169,19 @@ def particle_filter_dp(
     and slices its row block — so moments/ESS/log-likelihood match the
     single-device filter to psum reduction order. Weights, ESS, mean and
     covariance are psum'd; resampling all_gathers (parts, logw) and
-    rebuilds the global scatter-add index map redundantly per device
-    (the cloud is N*n fp32, tiny next to the per-step plant work).
+    rebuilds the global slot boundaries redundantly per device (the cloud
+    is N*n fp32, tiny next to the per-step plant work).
     Unlike the single-device filter's lax.cond, the resample branch is
     computed every step and `where`-selected (a cond around collectives
     would diverge per device; the vmapped single-device filter lowers to
     the same select anyway — models/particle.py docstring).
+
+    resample_method follows models/particle._systematic_resample's
+    envelope, adjusted for the sharding: each device's one-hot block is
+    (N/D, N) — a 1/D slice of the quadratic term — so "auto" keeps the
+    one-hot while N <= RESAMPLE_ONEHOT_MAX_N * sqrt(D) (the point where
+    the per-device block matches the single-device crossover's work) and
+    uses the sliced gather construction past it.
     """
     ax = axis or mesh.axis_names[0]
     D = mesh.shape[ax]
@@ -210,15 +218,28 @@ def particle_filter_dp(
         def resample_global(k_res, parts, logw):
             # gather the cloud, rebuild the GLOBAL slot boundaries exactly
             # as models/particle._systematic_resample, then each device
-            # computes only ITS row block of the one-hot contraction (the
-            # r4 TPU formulation — no scatter, no gather; see
-            # _systematic_resample docstring)
-            from numpower_tpu.models.particle import _resample_slots
+            # produces only ITS row block — as a one-hot contraction (the
+            # r4 MXU formulation) inside the envelope, or a sliced gather
+            # past it (see docstring; models/particle envelope note)
+            from numpower_tpu.models.particle import (
+                RESAMPLE_ONEHOT_MAX_N, _resample_slots,
+            )
 
             parts_g = lax.all_gather(parts, ax, tiled=True)   # (N, n)
             logw_g = lax.all_gather(logw, ax, tiled=True)     # (N,)
             mh = _resample_slots(k_res, logw_g, N)
             m_prev = jnp.concatenate([jnp.zeros((1,), mh.dtype), mh[:-1]])
+            method = resample_method
+            if method == "auto":
+                method = ("onehot"
+                          if N * N_loc <= RESAMPLE_ONEHOT_MAX_N ** 2
+                          else "gather")
+            if method == "gather":
+                hits = jnp.zeros((N,), jnp.int32).at[m_prev].add(
+                    1, mode="drop")
+                idx = jnp.cumsum(hits) - 1
+                idx_loc = lax.dynamic_slice_in_dim(idx, row0, N_loc)
+                return parts_g[idx_loc], jnp.full((N_loc,), -logN)
             i_loc = row0 + jnp.arange(N_loc)                  # global rows
             oh = jnp.logical_and(i_loc[:, None] >= m_prev[None, :],
                                  i_loc[:, None] < mh[None, :])

@@ -24,11 +24,77 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+def sweep(args):
+    """N-sweep (r4 verdict #4): locate the particle count where the O(N^2)
+    one-hot MXU contraction loses to the O(N) scatter+gather construction.
+    Constant total cloud B*N = 262144 (the flagship PF shape at N=1024), so
+    the gather's linear cost stays ~flat while the one-hot's quadratic
+    per-trajectory term grows — the crossover is where the curves meet.
+    Routes: models/particle.RESAMPLE_ONEHOT_MAX_N."""
+    import jax
+
+    if args.quick:
+        jax.config.update("jax_platforms", "cpu")
+    reps = 2 if args.quick else args.reps
+    total = (16 * 1024) if args.quick else (256 * 1024)
+    n = 2
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    from bench import _device_time_per_call, _log
+    from numpower_tpu.models.particle import _systematic_resample
+
+    dev = jax.devices()[0]
+    _log(f"device: {dev.platform}:{dev.device_kind}  sweep, B*N={total}")
+    float(jnp.ones((1,))[0])
+    rng = np.random.default_rng(0)
+
+    Ns = (1024, 2048, 4096) if args.quick else (1024, 2048, 4096, 8192,
+                                                16384)
+    for Np in Ns:
+        B = max(1, total // Np)
+        parts = jnp.asarray(
+            rng.standard_normal((B, Np, n)).astype(np.float32))
+        logw = jnp.asarray(rng.standard_normal((B, Np)).astype(np.float32))
+        keys = jax.random.split(jax.random.key(0), B)
+
+        def make(method):
+            def one(p, lw, k):
+                out, _ = _systematic_resample(k, p, lw, method=method)
+                return out
+
+            def run(parts, logw, keys, i):
+                def body(p, j):
+                    return jax.vmap(one)(p, logw + j * 1e-6 + i * 1e-7,
+                                         keys), None
+
+                out, _ = lax.scan(body, parts, jnp.arange(10.0))
+                return jnp.sum(out[0, 0])
+
+            return run
+
+        row = {}
+        for method in ("onehot", "gather"):
+            ts = [_device_time_per_call(make(method), (parts, logw, keys),
+                                        K=4, reps=reps) for _ in range(2)]
+            row[method] = float(np.median(ts)) / 10
+        faster = min(row, key=row.get)
+        _log(f"[sweep] N={Np:6d} B={B:4d}: onehot {row['onehot']*1e3:8.3f} "
+             f"ms/step  gather {row['gather']*1e3:8.3f} ms/step  -> "
+             f"{faster} wins {max(row.values())/min(row.values()):.1f}x")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--sweep", action="store_true",
+                    help="N-sweep 1k-16k at constant B*N: one-hot vs "
+                         "gather crossover (r4 verdict #4)")
     args = ap.parse_args()
+    if args.sweep:
+        return sweep(args)
 
     import jax
 

@@ -701,3 +701,49 @@ def test_batched_mean_chunked_matches_sequential(L):
     np.testing.assert_allclose(np.asarray(ch.log_likelihood),
                                np.asarray(ref.log_likelihood), rtol=1e-4,
                                atol=1e-2)
+
+
+def test_particle_resample_gather_matches_onehot():
+    """The gather construction and the one-hot MXU contraction implement
+    the SAME systematic-resampling slot assignment (r5: the gather path
+    serves N past the measured O(N^2) crossover, RESAMPLE_ONEHOT_MAX_N) —
+    the resampled clouds must be identical, not just close."""
+    from numpower_tpu.models.particle import _systematic_resample
+
+    rng = np.random.default_rng(12)
+    for N in (64, 257, 1024):
+        parts = jnp.asarray(rng.standard_normal((N, 3)).astype(np.float32))
+        logw = jnp.asarray(2.0 * rng.standard_normal((N,)).astype(np.float32))
+        for seed in (0, 1, 2):
+            key = jax.random.key(seed)
+            oh, w_oh = jax.jit(
+                lambda k, p, lw: _systematic_resample(k, p, lw,
+                                                      method="onehot"))(
+                key, parts, logw)
+            ga, w_ga = jax.jit(
+                lambda k, p, lw: _systematic_resample(k, p, lw,
+                                                      method="gather"))(
+                key, parts, logw)
+            np.testing.assert_array_equal(np.asarray(oh), np.asarray(ga))
+            np.testing.assert_array_equal(np.asarray(w_oh), np.asarray(w_ga))
+
+
+def test_particle_filter_gather_method_end_to_end(lti_data):
+    """Full filter parity between resample methods on a shared key."""
+    from numpower_tpu.models import particle_filter
+
+    A, B, C, Q, R, xs_true, ys = lti_data
+    x0 = jnp.array([1.0, 0.0])
+    P0 = jnp.eye(2) * 0.1
+    A_j = jnp.asarray(A)
+    f = lambda x, u: A_j @ x
+    h = lambda x: x[:1]
+    us = jnp.zeros((ys.shape[0], 1))
+    r_oh = particle_filter(f, h, Q, R, x0, P0, ys, us, jax.random.key(3),
+                           n_particles=512, resample_method="onehot")
+    r_ga = particle_filter(f, h, Q, R, x0, P0, ys, us, jax.random.key(3),
+                           n_particles=512, resample_method="gather")
+    np.testing.assert_allclose(np.asarray(r_oh.means),
+                               np.asarray(r_ga.means), atol=1e-6)
+    np.testing.assert_allclose(float(r_oh.log_likelihood),
+                               float(r_ga.log_likelihood), rtol=1e-6)
