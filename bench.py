@@ -582,10 +582,13 @@ def bench_estimation(scenarios: int, reps: int):
     rng = np.random.default_rng(11)
     yss = jnp.asarray(rng.standard_normal((N, T, 1)).astype(np.float32))
     x0s = jnp.asarray(rng.standard_normal((N, 2)).astype(np.float32))
+    # K=2048: the r5 fused mean-pass kernel runs this row at ~9 us/call —
+    # K=256 (2 ms window) sits under the >=25 ms sampling rule and read a
+    # physically-impossible 1.6 us in the kernel A/B (scripts/kf_chunk_ab.py)
     t = _device_time_per_call(
         lambda x0s, yss, i: kalman_filter_batched(
             A, C, Q, R, x0s + i * 1e-6, P0, yss).log_likelihood[0],
-        (x0s, yss), K=256, reps=reps,
+        (x0s, yss), K=2048 if scenarios >= 2048 else 256, reps=reps,
     )
     if t <= 2e-8:
         _log(f"[kalman] {N}-trajectory batched filter T={T}: below timer "

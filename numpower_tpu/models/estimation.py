@@ -146,7 +146,8 @@ def _kalman_filter_batched_vmap(A, C, Q, R, x0s, P0, yss, B=None, uss=None
 
 
 def kalman_filter_batched(A, C, Q, R, x0s, P0, yss, B=None, uss=None,
-                          mean_chunk: int = 0) -> KalmanResult:
+                          mean_chunk: int = 0,
+                          method: str = "auto") -> KalmanResult:
     """Batched LTI Kalman filter: x0s (N, n), yss (N, T, p), uss (N, T, m).
 
     Shared-covariance fast path: with A/C/Q/R/P0 shared across the batch
@@ -172,6 +173,12 @@ def kalman_filter_batched(A, C, Q, R, x0s, P0, yss, B=None, uss=None,
     Exact same algebra as _filter_step (Cholesky-whitened innovation,
     symmetrized covariances); parity asserted in
     tests/test_estimation.py::test_batched_fast_path_matches_vmap.
+
+    method: "xla" runs the mean recurrence as the unrolled XLA scan below;
+    "pallas" routes it through the fused whole-T kernel
+    (kernels/kalman_batched.py — state resident in VMEM, gains in SMEM,
+    zero per-step dispatch; the r4-verdict experiment against the
+    measured 17%-of-roofline XLA floor); "auto" picks pallas on TPU.
 
     mean_chunk=L (opt-in) replaces the sequential mean recurrence with
     chunk-parallel prefix-product recovery (_mean_pass_chunked).
@@ -217,6 +224,23 @@ def kalman_filter_batched(A, C, Q, R, x0s, P0, yss, B=None, uss=None,
     us_t = jnp.swapaxes(u_terms, 0, 1)      # (T, N, n)
     c0 = jnp.asarray(p * jnp.log(2.0 * jnp.pi), dt)
 
+    if method == "auto":
+        method = ("pallas"
+                  if jax.default_backend() in ("tpu", "axon") else "xla")
+    if method == "pallas" and not (mean_chunk and mean_chunk > 1):
+        from numpower_tpu.kernels.kalman_batched import (
+            kalman_mean_pass_pallas,
+        )
+
+        xs_f, xs_p, ll = kalman_mean_pass_pallas(
+            A, C, Ws, invLs, logdets, x0s, ys_t,
+            us_t if uss is not None else None,
+            interpret=jax.default_backend() not in ("tpu", "axon"))
+        covs = jnp.broadcast_to(P_fs, (N, T, n, n))
+        pred_covs = jnp.broadcast_to(P_ps, (N, T, n, n))
+        return KalmanResult(means=jnp.swapaxes(xs_f, 0, 1), covs=covs,
+                            pred_means=jnp.swapaxes(xs_p, 0, 1),
+                            pred_covs=pred_covs, log_likelihood=ll)
     if mean_chunk and mean_chunk > 1:
         # the inverse prefix products inside a chunk grow geometrically —
         # measured 4e-2 mean deviation at L=T=50 (docstring); refuse

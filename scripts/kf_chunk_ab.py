@@ -2,6 +2,10 @@
 """Batched-KF mean-recurrence A/B: sequential unrolled scan vs the
 chunk-parallel prefix-product pass (kalman_filter_batched mean_chunk=L).
 
+K sizing: the pallas path is ~9 us/call — K=256 gave a 0.4 ms window far
+under the >=25 ms sampling rule and read a physically-impossible 1.6 us
+(306% of bytes-SoL, 2026-08-21); K=4096 (36 ms) reads a stable 8.7 us.
+
 The r4 roofline model puts the flagship batched KF (N=4096, T=50) at
 ~5 us HBM speed-of-light vs ~31 us measured — the gap hypothesis is the
 ~100 sequential tiny (N, n) fusions (two unrolled scans x T steps, each
@@ -69,7 +73,22 @@ def main():
             lambda x0s, yss, i: kalman_filter_batched(
                 A, C, Q, R, x0s + i * 1e-6, P0, yss,
                 mean_chunk=L).log_likelihood[0],
-            (x0s, yss), K=256, reps=reps)
+            (x0s, yss), K=2048, reps=reps)
+
+    # r5 (VERDICT r4 #5): the fused whole-T Pallas mean pass — state in
+    # VMEM, gains in SMEM, zero per-step dispatch
+    def t_pallas():
+        return _device_time_per_call(
+            lambda x0s, yss, i: kalman_filter_batched(
+                A, C, Q, R, x0s + i * 1e-6, P0, yss,
+                method="pallas").log_likelihood[0],
+            (x0s, yss), K=4096, reps=reps)
+
+    d_pl = float(jnp.max(jnp.abs(
+        kalman_filter_batched(A, C, Q, R, x0s, P0, yss,
+                              method="pallas").means - ref.means)))
+    _log(f"[parity] pallas: means dev {d_pl:.2e}")
+    assert d_pl < 1e-3
 
     # L=25 was probed in the r4 experiment and is now rejected by the
     # mean_chunk<=16 envelope guard (advisor r4) — the measured 4e-2
@@ -78,9 +97,11 @@ def main():
     for _ in range(3):
         for L in (0, 8, 16):
             results.setdefault(L, []).append(t_of(L))
-    for L in (0, 8, 16):
+        results.setdefault("pallas", []).append(t_pallas())
+    for L in (0, 8, 16, "pallas"):
         t = float(np.median(results[L]))
-        label = "sequential" if L == 0 else f"chunk L={L}"
+        label = ("sequential" if L == 0
+                 else "pallas fused" if L == "pallas" else f"chunk L={L}")
         _log(f"[kf] {label:12s}: {t*1e6:7.1f} us/batch "
              f"({N*T/t/1e6:,.0f}M updates/s)")
         _log(roofline_report(f"batched KF {label}",
