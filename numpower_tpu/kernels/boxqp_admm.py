@@ -93,6 +93,46 @@ def _s_loop(s, c, rminvT, lo, hi, alpha, iters: int, coarse_iters: int,
     return s
 
 
+def _s_loop_pipelined(s, c, rminvT, lo, hi, alpha, iters: int,
+                      coarse_iters: int, tail_dot):
+    """Software-pipelined s-form (r4 verdict #6 experiment). Algebraically
+    the same recursion as _s_loop, re-associated so the only op that
+    DEPENDS on the GEMM result is one fma:
+
+        p = clip(s); t = 2p - s          [pre-GEMM]
+        a = s - alpha c - alpha p        [pre-GEMM — independent of u]
+        u = t @ (rho Minv)'              [MXU]
+        s' = a + alpha u                 [1 fma post-GEMM]
+
+    vs _s_loop's s' = s + alpha (u - c - p), which puts 3 VPU ops after
+    the GEMM on the u -> t' critical path. If Mosaic co-issues VPU work
+    with the MXU, the a-computation hides under the GEMM and the
+    serialized VPU chain per iteration drops ~5 -> ~3 ops. fp32
+    re-association changes rounding at the 1e-7 level (A/B-verified
+    within residual bounds).
+
+    MEASURED NEUTRAL on v5e (2026-08-21, r4 verdict #6 closed): 3
+    interleaved pairs at the flagship (N=4096, 32 bf16 + 8 fp32, K=512)
+    read s 77.90 us vs sp 78.24 us (0.996x), |dz| 1.3e-5. Mosaic's
+    scheduler evidently already extracts whatever MXU/VPU overlap the
+    dependency structure allows — the remaining ~0.14 us/iter VPU
+    residual is serialized on the algorithm's own u -> clip -> t chain,
+    not on instruction ordering. Kept selectable (form="sp") as the
+    documented experiment; default stays "s"."""
+    ac = alpha * c
+    for k in range(iters):
+        p = jnp.clip(s, lo, hi)
+        t = 2.0 * p - s
+        a = s - ac - alpha * p
+        if k < coarse_iters:
+            u = jnp.dot(t, rminvT, precision=lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+        else:
+            u = tail_dot(t)
+        s = a + alpha * u
+    return s
+
+
 def _zy_loop(z0, c, rminvT, lo, hi, alpha, iters: int, coarse_iters: int,
              tail_dot):
     """(z, y)-form reference iteration — the classic four-update recursion
@@ -278,7 +318,7 @@ def _admm_g_res_kernel(rminvT_ref, x0_ref, wc_ref, params_ref,
     c = make_tail_dot(wc_ref[:], c_precision)(x0_ref[:])
     rminvT = rminvT_ref[:]
     tail_dot = make_tail_dot(rminvT, tail_precision)
-    loop = _s_loop if form == "s" else _zy_loop
+    loop = {"s": _s_loop, "zy": _zy_loop, "sp": _s_loop_pipelined}[form]
     s = loop(z0_ref[:], c, rminvT, lo, hi, alpha, iters, coarse_iters,
              tail_dot)
     z = jnp.clip(s, lo, hi)
