@@ -696,11 +696,15 @@ def bench_estimation(scenarios: int, reps: int):
             A, C, Q, R, x0, P0, ys + i * 1e-6).log_likelihood,
         (ys_long,), K=8, reps=max(2, reps // 3),
     )
-    # K=64: the associative path is ~1.2 ms/call post-adjugate-solve, so an
-    # 8-call window (~10 ms) sits inside the relay's RTT jitter
+    # K=64: the associative path is ~0.7 ms/call, so an 8-call window
+    # (~10 ms) sits inside the relay's RTT jitter. nopivot=True: explicit
+    # opt-in (r4: 0.70 vs 1.16 ms even at n=2 — the unpivoted GJ fuses
+    # where the adjugate's stacked construction does not); the library
+    # default is the pivoted solver (advisor r4).
     t_par = _device_time_per_call(
         lambda ys, i: kalman_filter_associative(
-            A, C, Q, R, x0, P0, ys + i * 1e-6).log_likelihood,
+            A, C, Q, R, x0, P0, ys + i * 1e-6,
+            nopivot=True).log_likelihood,
         (ys_long,), K=64, reps=max(2, reps // 3),
     )
     _log(

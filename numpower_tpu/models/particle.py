@@ -95,6 +95,20 @@ def _systematic_resample(key, parts, logw, method: str = "auto"):
     if method == "auto":
         method = "onehot" if N <= RESAMPLE_ONEHOT_MAX_N else "gather"
     uniform = jnp.full((N,), -jnp.log(jnp.asarray(N, logw.dtype)))
+    if method == "pallas":
+        # kernels/pf_resample.py: hand-fused mask-build + contraction.
+        # MEASURED SLOWER than the XLA one-hot (0.92-1.18 vs 0.60 ms/step
+        # at B=256 N=1024 across block sizes, v5e 2026-08-21): XLA's
+        # producer fusion feeds the boundary comparisons into the batched
+        # GEMM without staging the (N, N) mask, which the Pallas kernel
+        # cannot avoid materializing in VMEM per block. Kept selectable as
+        # the documented experiment; "auto" never picks it.
+        from numpower_tpu.kernels.pf_resample import resample_onehot_pallas
+
+        out = resample_onehot_pallas(
+            parts[None], m[None],
+            interpret=jax.default_backend() not in ("tpu", "axon"))[0]
+        return out, uniform
     if method == "gather":
         # r3 construction: scatter-add a 1 at each particle's first output
         # slot (particles with zero slots collapse onto the next start and

@@ -178,9 +178,32 @@ def main():
             outs.append(jnp.einsum("bkn,bnd->bkd", oh, p))
         return jnp.concatenate(outs, axis=1)
 
+    def onehot_fused(p, lw):
+        # r5: kernels/pf_resample.py — mask built + contracted in VMEM
+        from numpower_tpu.kernels.pf_resample import resample_onehot_pallas
+        from numpower_tpu.models.particle import _resample_slots
+        import jax as _jax
+
+        keys = _jax.random.split(_jax.random.key(0), p.shape[0])
+        m = _jax.vmap(lambda k, l: _resample_slots(k, l, Np))(keys, lw)
+        return resample_onehot_pallas(
+            p, m, interpret=_jax.default_backend() not in ("tpu", "axon"))
+
+    def onehot_prod(p, lw):
+        # the production XLA one-hot (models/particle method="onehot")
+        from numpower_tpu.models.particle import (
+            _resample_slots, _systematic_resample,
+        )
+        import jax as _jax
+
+        keys = _jax.random.split(_jax.random.key(0), p.shape[0])
+        return _jax.vmap(lambda k, pp, l: _systematic_resample(
+            k, pp, l, method="onehot")[0])(keys, p, lw)
+
     cases = [("weights", weights_math), ("scatter", scatter_block),
              ("gather", gather_vmap), ("gatherflat", gather_flat),
-             ("onehot-mm", onehot_mm)]
+             ("onehot-mm", onehot_mm), ("onehot-prod", onehot_prod),
+             ("onehot-fused", onehot_fused)]
     results = {}
     for _ in range(2):
         for name, fn in cases:

@@ -336,3 +336,25 @@ def test_kalman_mean_pallas_matches_xla():
         np.testing.assert_allclose(np.asarray(pk.log_likelihood),
                                    np.asarray(ref.log_likelihood),
                                    rtol=2e-4, atol=2e-3)
+
+
+def test_pf_resample_pallas_matches_onehot():
+    """kernels/pf_resample.py fused mask+contraction == the XLA one-hot
+    formulation, element-exact, incl. degenerate weight spikes."""
+    from numpower_tpu.kernels.pf_resample import resample_onehot_pallas
+    from numpower_tpu.models.particle import (
+        _resample_slots, _systematic_resample,
+    )
+
+    rng = np.random.default_rng(7)
+    B, N, n = 3, 256, 5
+    parts = jnp.asarray(rng.standard_normal((B, N, n)).astype(np.float32))
+    logw = jnp.asarray(rng.standard_normal((B, N)).astype(np.float32))
+    # one trajectory with a near-degenerate weight spike
+    logw = logw.at[1, 17].set(25.0)
+    keys = jax.random.split(jax.random.key(5), B)
+    m = jax.vmap(lambda k, lw: _resample_slots(k, lw, N))(keys, logw)
+    out = resample_onehot_pallas(parts, m, blk=128, interpret=True)
+    ref = jax.vmap(lambda k, p, lw: _systematic_resample(
+        k, p, lw, method="onehot")[0])(keys, parts, logw)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
