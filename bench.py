@@ -658,9 +658,10 @@ def bench_estimation(scenarios: int, reps: int):
                              f"(propagate only)", prop_c, t))
     rows["pf_particle_steps_per_sec"] = (N_pf * P_pf * T_pf / t, "steps/s")
 
-    # vmapped UKF (nonlinear estimator lineup; the per-step sigma-point
-    # cholesky goes through the unrolled recurrence — BASELINE 5.8x note)
-    from numpower_tpu.models.estimation import ukf_filter
+    # batched UKF (nonlinear estimator lineup): on TPU this routes through
+    # the whole-T fused kernel (kernels/ukf.py, r5); the r4 vmapped path
+    # (method="xla") measured 4.65 ms at this shape
+    from numpower_tpu.models.estimation import ukf_filter_batched
 
     def f_pend(x, u):
         th, om = x[0], x[1]
@@ -675,10 +676,9 @@ def bench_estimation(scenarios: int, reps: int):
     us_u = jnp.zeros((N_ukf, T_ukf, 1), jnp.float32)
     x0_u = jnp.asarray(0.3 * rng.standard_normal((N_ukf, 2)).astype(np.float32))
     t_u = _device_time_per_call(
-        lambda x0s, ys, us, i: jax.vmap(
-            lambda x0, y, u: ukf_filter(
-                f_pend, h_pend, Q, R, x0, P0, y, u).log_likelihood
-        )(x0s + i * 1e-6, ys, us).sum(),
+        lambda x0s, ys, us, i: ukf_filter_batched(
+            f_pend, h_pend, Q, R, x0s + i * 1e-6, P0, ys,
+            us).log_likelihood[0],
         (x0_u, ys_u, us_u), K=32, reps=reps,
     )
     _log(

@@ -1,0 +1,294 @@
+"""Fused whole-T batched UKF Pallas kernel (round 5).
+
+The vmapped UKF (models/estimation.ukf_filter under jax.vmap) is the same
+dispatch-latency story the batched KF had before kernels/kalman_batched.py:
+T=50 sequential steps, each ~30 tiny (B, n)-shaped fused XLA ops — measured
+4.65 ms at (B=1024, pendulum), ~100x off the VPU-flops bound. This kernel
+runs the ENTIRE filter in one kernel: the batch rides the 128-wide lanes,
+the per-trajectory state (x (n, B), P (n*n, B), ll) is carried through an
+in-kernel fori_loop, and every UKF step is unrolled scalar-recurrence work
+over (B,) rows (the kernels/cholesky.py batch-on-lanes pattern, including
+the sigma-point Cholesky).
+
+Plant contract: f(x, u) / h(x) must be written in the models/plants.py
+house style — index state components (x[0], x[1], ...) and combine with
+elementwise jnp ops + jnp.stack. Such functions trace identically on a
+(n,) vector (the XLA path) and on the (n, 5B) row blocks this kernel
+feeds them: all 2n+1 sigma points are laid side-by-side along the LANE
+axis, so each step costs ONE f trace/eval on a 5B-wide vector instead of
+2n+1 separate evals.
+
+Semantics match models/estimation.ukf_filter exactly (Wan-Merwe points,
+same symmetrizations, Cholesky-whitened log-likelihood); parity asserted
+in tests/test_kernels.py::test_ukf_pallas_matches_vmap.
+
+Reference parity: the reference has no estimator at all — its users would
+loop eager matmul/cholesky per step per trajectory
+(/root/reference/src/ndmath/linalg.c:770-1102).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _chol_rows(P, n, jitter):
+    """Unrolled lower Cholesky of a symmetric matrix given as an n x n
+    nested list of (B,) rows; returns the nested list L (lower)."""
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        acc = P[j][j] + jitter
+        for k in range(j):
+            acc = acc - L[j][k] * L[j][k]
+        d = jnp.sqrt(acc)
+        inv = 1.0 / d
+        L[j][j] = d
+        for i in range(j + 1, n):
+            acc = P[i][j]
+            for k in range(j):
+                acc = acc - L[i][k] * L[j][k]
+            L[i][j] = acc * inv
+    return L
+
+
+def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
+                xf_ref, xp_ref, Pf_ref, Pp_ref, ll_ref, *,
+                f, h, n: int, p: int, m: int, T: int,
+                wm, wc, c_sig: float, jitter: float):
+    """One grid step = one batch tile. wm/wc are PYTHON float tuples
+    (trace-time constants); c_sig = n + lambda scales the sigma spread."""
+    B = x0_ref.shape[1]
+    K = 2 * n + 1
+
+    def sigma_wide(x_rows, P_rows):
+        # (n, K*B): [x, x + sqrt(c) S cols, x - sqrt(c) S cols] on lanes
+        S = _chol_rows([[c_sig * 0.5 * (P_rows[i][j] + P_rows[j][i])
+                         for j in range(n)] for i in range(n)], n, jitter)
+        rows = []
+        for j in range(n):
+            parts = [x_rows[j]]
+            # S is lower triangular: S[j][i] = 0 above the diagonal
+            for i in range(n):
+                parts.append(x_rows[j] + S[j][i] if i <= j else x_rows[j])
+            for i in range(n):
+                parts.append(x_rows[j] - S[j][i] if i <= j else x_rows[j])
+            rows.append(jnp.concatenate(parts))
+        return jnp.stack(rows)
+
+    def wsum(rows_wide, w):
+        # rows_wide (r, K*B) -> list r of weighted (B,) sums over the K span
+        out = []
+        for j in range(rows_wide.shape[0]):
+            acc = None
+            for k in range(K):
+                term = w[k] * rows_wide[j, k * B:(k + 1) * B]
+                acc = term if acc is None else acc + term
+            out.append(acc)
+        return out
+
+    def body(t, carry):
+        X, Pv, ll = carry
+        x_rows = [X[j] for j in range(n)]
+        P_rows = [[Pv[i * n + j] for j in range(n)] for i in range(n)]
+
+        u_step = u_ref[pl.ds(t * m, m), :]            # (m, B)
+        u_wide = jnp.concatenate([u_step] * K, axis=1)  # (m, K*B)
+
+        # predict: propagate all sigma points through f in ONE eval
+        pts = sigma_wide(x_rows, P_rows)
+        fx = f(pts, u_wide)                            # (n, K*B)
+        x_p = wsum(fx, wm)
+        dX = [[fx[j, k * B:(k + 1) * B] - x_p[j] for k in range(K)]
+              for j in range(n)]
+        P_p = [[None] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(i, n):
+                acc = None
+                for k in range(K):
+                    term = wc[k] * dX[i][k] * dX[j][k]
+                    acc = term if acc is None else acc + term
+                acc = acc + Q_ref[i, j]
+                P_p[i][j] = acc
+                P_p[j][i] = acc
+
+        # update: re-draw sigma points from the predicted density
+        pts2 = sigma_wide(x_p, P_p)
+        hy = h(pts2)                                   # (p, K*B)
+        y_p = wsum(hy, wm)
+        dY = [[hy[c, k * B:(k + 1) * B] - y_p[c] for k in range(K)]
+              for c in range(p)]
+        dX2 = [[pts2[j, k * B:(k + 1) * B] - x_p[j] for k in range(K)]
+               for j in range(n)]
+        S = [[None] * p for _ in range(p)]
+        for a in range(p):
+            for b_ in range(a, p):
+                acc = None
+                for k in range(K):
+                    term = wc[k] * dY[a][k] * dY[b_][k]
+                    acc = term if acc is None else acc + term
+                acc = acc + R_ref[a, b_]
+                S[a][b_] = acc
+                S[b_][a] = acc
+        Pxy = [[None] * p for _ in range(n)]
+        for j in range(n):
+            for c in range(p):
+                acc = None
+                for k in range(K):
+                    term = wc[k] * dX2[j][k] * dY[c][k]
+                    acc = term if acc is None else acc + term
+                Pxy[j][c] = acc
+
+        L = _chol_rows(S, p, 0.0)
+        # K_gain = Pxy S^{-1}: solve (L L') W = Pxy' column-wise (p tiny)
+        # forward: L G = Pxy'  (G (p, n) of rows)
+        G = [[None] * n for _ in range(p)]
+        for a in range(p):
+            for j in range(n):
+                acc = Pxy[j][a]
+                for k in range(a):
+                    acc = acc - L[a][k] * G[k][j]
+                G[a][j] = acc / L[a][a]
+        # backward: L' W = G
+        W = [[None] * n for _ in range(p)]
+        for a in range(p - 1, -1, -1):
+            for j in range(n):
+                acc = G[a][j]
+                for k in range(a + 1, p):
+                    acc = acc - L[k][a] * W[k][j]
+                W[a][j] = acc / L[a][a]
+        # Kg[j][a] = W[a][j] (K_gain = Pxy S^-1, (n, p))
+
+        y_step = y_ref[pl.ds(t * p, p), :]             # (p, B)
+        v = [y_step[c] - y_p[c] for c in range(p)]
+        x_f = []
+        for j in range(n):
+            acc = x_p[j]
+            for a in range(p):
+                acc = acc + W[a][j] * v[a]
+            x_f.append(acc)
+        # P_f = P_p - Kg S Kg'
+        SK = [[None] * n for _ in range(p)]            # S Kg' (p, n)
+        for a in range(p):
+            for j in range(n):
+                acc = None
+                for b_ in range(p):
+                    term = S[a][b_] * W[b_][j]
+                    acc = term if acc is None else acc + term
+                SK[a][j] = acc
+        P_f = [[None] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(i, n):
+                acc = P_p[i][j]
+                for a in range(p):
+                    acc = acc - W[a][i] * SK[a][j]
+                P_f[i][j] = acc
+                P_f[j][i] = acc
+
+        # innovation log-density: alpha = L^{-1} v
+        alpha_w = [None] * p
+        for a in range(p):
+            acc = v[a]
+            for k in range(a):
+                acc = acc - L[a][k] * alpha_w[k]
+            alpha_w[a] = acc / L[a][a]
+        sq = None
+        logdet = None
+        for a in range(p):
+            s2 = alpha_w[a] * alpha_w[a]
+            sq = s2 if sq is None else sq + s2
+            ld = jnp.log(L[a][a])
+            logdet = ld if logdet is None else logdet + ld
+        c0 = p * jnp.log(jnp.asarray(2.0 * jnp.pi, X.dtype))
+        ll = ll - 0.5 * (sq + c0) - logdet
+
+        xf_ref[pl.ds(t * n, n), :] = jnp.stack(x_f)
+        xp_ref[pl.ds(t * n, n), :] = jnp.stack(x_p)
+        Pf_ref[pl.ds(t * n * n, n * n), :] = jnp.stack(
+            [P_f[i][j] for i in range(n) for j in range(n)])
+        Pp_ref[pl.ds(t * n * n, n * n), :] = jnp.stack(
+            [P_p[i][j] for i in range(n) for j in range(n)])
+        X_new = jnp.stack(x_f)
+        Pv_new = jnp.stack([P_f[i][j] for i in range(n) for j in range(n)])
+        return X_new, Pv_new, ll
+
+    X0 = x0_ref[:]
+    Pv0 = jnp.stack([jnp.full((B,), P0_ref[i, j], X0.dtype)
+                     for i in range(n) for j in range(n)])
+    ll0 = jnp.zeros((B,), X0.dtype)
+    _, _, ll = lax.fori_loop(0, T, body, (X0, Pv0, ll0))
+    ll_ref[0, :] = ll
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "f", "h", "alpha", "beta", "kappa", "tile_b", "interpret"))
+def ukf_pallas(f, h, Q, R, x0s, P0, yss, uss, alpha: float = 1.0,
+               beta: float = 2.0, kappa: float = 0.0, tile_b: int = 1024,
+               interpret: bool = False):
+    """Batched UKF, whole filter in one kernel.
+
+    f/h: plants in the models/plants.py style (see module docstring);
+    Q (n, n), R (p, p), x0s (B, n), P0 (n, n) shared prior, yss (B, T, p),
+    uss (B, T, m). Returns (xs_f (B, T, n), Ps_f (B, T, n, n),
+    xs_p, Ps_p, ll (B,)) — the KalmanResult fields."""
+    B, T, p = yss.shape
+    n = x0s.shape[1]
+    m = uss.shape[2]
+    dt = x0s.dtype
+
+    lam = alpha * alpha * (n + kappa) - n
+    c_sig = n + lam
+    wm = tuple([lam / c_sig] + [0.5 / c_sig] * (2 * n))
+    wc = tuple([lam / c_sig + (1.0 - alpha * alpha + beta)]
+               + [0.5 / c_sig] * (2 * n))
+
+    tile_b = min(tile_b, _round_up(B, 128))
+    B_pad = _round_up(B, tile_b)
+    x0c = x0s.T                                        # (n, B)
+    ysc = yss.transpose(1, 2, 0).reshape(T * p, B)
+    usc = uss.transpose(1, 2, 0).reshape(T * m, B)
+    if B_pad != B:
+        pad = B_pad - B
+        x0c = jnp.concatenate([x0c, jnp.zeros((n, pad), dt)], axis=1)
+        ysc = jnp.concatenate([ysc, jnp.zeros((T * p, pad), dt)], axis=1)
+        usc = jnp.concatenate([usc, jnp.zeros((T * m, pad), dt)], axis=1)
+
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)
+    vmem = lambda rows: pl.BlockSpec((rows, tile_b), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+    xf, xp, Pf, Pp, ll = pl.pallas_call(
+        functools.partial(_ukf_kernel, f=f, h=h, n=n, p=p, m=m, T=T,
+                          wm=wm, wc=wc, c_sig=float(c_sig), jitter=1e-9),
+        grid=(B_pad // tile_b,),
+        in_specs=[smem((n, n)), smem((p, p)), smem((n, n)),
+                  vmem(n), vmem(T * p), vmem(T * m)],
+        out_specs=(vmem(T * n), vmem(T * n), vmem(T * n * n),
+                   vmem(T * n * n), vmem(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((T * n, B_pad), dt),
+            jax.ShapeDtypeStruct((T * n, B_pad), dt),
+            jax.ShapeDtypeStruct((T * n * n, B_pad), dt),
+            jax.ShapeDtypeStruct((T * n * n, B_pad), dt),
+            jax.ShapeDtypeStruct((1, B_pad), dt),
+        ),
+        interpret=interpret,
+    )(Q, R, P0, x0c, ysc, usc)
+
+    def unpack(a, r):
+        return a[:, :B].reshape(T, r, B).transpose(2, 0, 1)
+
+    xs_f = unpack(xf, n)
+    xs_p = unpack(xp, n)
+    Ps_f = unpack(Pf, n * n).reshape(B, T, n, n)
+    Ps_p = unpack(Pp, n * n).reshape(B, T, n, n)
+    return xs_f, Ps_f, xs_p, Ps_p, ll[0, :B]

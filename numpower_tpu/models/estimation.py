@@ -759,6 +759,50 @@ def kalman_filter_associative(
                         pred_covs=Ps_p, log_likelihood=jnp.sum(lls))
 
 
+def ukf_filter_batched(
+    f: Callable,
+    h: Callable,
+    Q: jax.Array,
+    R: jax.Array,
+    x0s: jax.Array,      # (B, n)
+    P0: jax.Array,       # (n, n) shared prior
+    yss: jax.Array,      # (B, T, p)
+    uss: jax.Array,      # (B, T, m)
+    alpha: float = 1.0,
+    beta: float = 2.0,
+    kappa: float = 0.0,
+    method: str = "auto",
+) -> KalmanResult:
+    """Batched UKF over B trajectories.
+
+    method="xla" vmaps ukf_filter; "pallas" runs the whole filter in one
+    kernel (kernels/ukf.py — batch on lanes, per-trajectory covariances
+    carried in-kernel, the user plant traced once per step on (n, 5B)
+    row blocks). "auto" picks pallas on TPU for small dims. The pallas
+    path requires f/h in the models/plants.py style (component indexing +
+    elementwise jnp ops — see kernels/ukf.py docstring); plants that
+    don't comply should pass method="xla".
+    """
+    if method == "auto":
+        ok_dims = (x0s.shape[1] <= 8 and yss.shape[2] <= 4
+                   and uss.shape[2] <= 4)
+        method = ("pallas" if ok_dims
+                  and jax.default_backend() in ("tpu", "axon") else "xla")
+    if method == "pallas":
+        from numpower_tpu.kernels.ukf import ukf_pallas
+
+        xs_f, Ps_f, xs_p, Ps_p, ll = ukf_pallas(
+            f, h, Q, R, x0s, P0, yss, uss, alpha=alpha, beta=beta,
+            kappa=kappa,
+            interpret=jax.default_backend() not in ("tpu", "axon"))
+        return KalmanResult(means=xs_f, covs=Ps_f, pred_means=xs_p,
+                            pred_covs=Ps_p, log_likelihood=ll)
+    return jax.vmap(
+        lambda x0, ys, us: ukf_filter(f, h, Q, R, x0, P0, ys, us,
+                                      alpha=alpha, beta=beta, kappa=kappa)
+    )(x0s, yss, uss)
+
+
 def ukf_filter(
     f: Callable,
     h: Callable,

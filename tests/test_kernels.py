@@ -358,3 +358,40 @@ def test_pf_resample_pallas_matches_onehot():
     ref = jax.vmap(lambda k, p, lw: _systematic_resample(
         k, p, lw, method="onehot")[0])(keys, parts, logw)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_ukf_pallas_matches_vmap():
+    """Whole-T batched UKF kernel (kernels/ukf.py) vs the vmapped XLA
+    filter — means, covariances, predictions, log-likelihood, with a
+    nonlinear pendulum plant and known inputs."""
+    from numpower_tpu.models.estimation import ukf_filter_batched
+
+    def f_pend(x, u):
+        th, om = x[0], x[1]
+        return jnp.stack(
+            [th + 0.05 * om, om - 0.05 * 9.81 * jnp.sin(th) + 0.05 * u[0]])
+
+    def h_pend(x):
+        return x[:1]
+
+    rng = np.random.default_rng(2)
+    B, T = 7, 20                        # non-multiple of the 128-lane tile
+    Q = jnp.eye(2) * 1e-3
+    R = jnp.eye(1) * 1e-2
+    P0 = jnp.eye(2) * 0.1
+    ys = jnp.asarray(rng.standard_normal((B, T, 1)).astype(np.float32))
+    us = jnp.asarray(0.1 * rng.standard_normal((B, T, 1)).astype(np.float32))
+    x0s = jnp.asarray(0.3 * rng.standard_normal((B, 2)).astype(np.float32))
+    ref = ukf_filter_batched(f_pend, h_pend, Q, R, x0s, P0, ys, us,
+                             method="xla")
+    pk = ukf_filter_batched(f_pend, h_pend, Q, R, x0s, P0, ys, us,
+                            method="pallas")
+    np.testing.assert_allclose(np.asarray(pk.means), np.asarray(ref.means),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pk.covs), np.asarray(ref.covs),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pk.pred_means),
+                               np.asarray(ref.pred_means), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pk.log_likelihood),
+                               np.asarray(ref.log_likelihood), rtol=1e-3,
+                               atol=5e-3)
