@@ -146,7 +146,7 @@ PLAUSIBILITY_BANDS = {
     "mppi_rollouts_per_sec": (1e7, 2e8),
     "kalman_batched_updates_per_sec": (1e9, 4e10),
     "pf_particle_steps_per_sec": (5e7, 2e9),
-    "ukf_updates_per_sec": (2e6, 5e7),
+    "ukf_updates_per_sec": (2e6, 3e9),   # r5 fused kernel: ~880M
     "kalman_assoc_ms": (0.25, 6.0),
     "kalman_assoc_speedup": (4.0, 60.0),
     "shardmap_overhead_pct": (-3.0, 60.0),
@@ -675,11 +675,13 @@ def bench_estimation(scenarios: int, reps: int):
     ys_u = jnp.asarray(rng.standard_normal((N_ukf, T_ukf, 1)).astype(np.float32))
     us_u = jnp.zeros((N_ukf, T_ukf, 1), jnp.float32)
     x0_u = jnp.asarray(0.3 * rng.standard_normal((N_ukf, 2)).astype(np.float32))
+    # K=512: the r5 fused kernel runs this row at ~58 us/call — K=32 (1.9 ms
+    # window) would sit under the >=25 ms sampling rule
     t_u = _device_time_per_call(
         lambda x0s, ys, us, i: ukf_filter_batched(
             f_pend, h_pend, Q, R, x0s + i * 1e-6, P0, ys,
             us).log_likelihood[0],
-        (x0_u, ys_u, us_u), K=32, reps=reps,
+        (x0_u, ys_u, us_u), K=512 if scenarios >= 2048 else 32, reps=reps,
     )
     _log(
         f"[ukf]    {N_ukf}-trajectory vmapped UKF T={T_ukf} (pendulum): "

@@ -13,10 +13,12 @@ the sigma-point Cholesky).
 Plant contract: f(x, u) / h(x) must be written in the models/plants.py
 house style — index state components (x[0], x[1], ...) and combine with
 elementwise jnp ops + jnp.stack. Such functions trace identically on a
-(n,) vector (the XLA path) and on the (n, 5B) row blocks this kernel
-feeds them: all 2n+1 sigma points are laid side-by-side along the LANE
-axis, so each step costs ONE f trace/eval on a 5B-wide vector instead of
-2n+1 separate evals.
+(n,) vector (the XLA path) and on the per-component (B,) lane rows this
+kernel feeds them (as a list, one row per state component); each of the
+2n+1 sigma points costs one inlined f trace per step. (A first draft laid
+all sigma points side-by-side along the LANE axis to eval f once on a
+(n, 5B) block — Mosaic rejects the lane-axis concatenate + lane slicing
+that requires: layout.h offset/tiling check crash, v5e 2026-08-21.)
 
 Semantics match models/estimation.ukf_filter exactly (Wan-Merwe points,
 same symmetrizations, Cholesky-whitened log-likelihood); parity asserted
@@ -70,46 +72,46 @@ def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
     B = x0_ref.shape[1]
     K = 2 * n + 1
 
-    def sigma_wide(x_rows, P_rows):
-        # (n, K*B): [x, x + sqrt(c) S cols, x - sqrt(c) S cols] on lanes
+    def sigma_list(x_rows, P_rows):
+        # K lists of n (B,) rows: [x, x + S cols, x - S cols]
         S = _chol_rows([[c_sig * 0.5 * (P_rows[i][j] + P_rows[j][i])
                          for j in range(n)] for i in range(n)], n, jitter)
-        rows = []
-        for j in range(n):
-            parts = [x_rows[j]]
-            # S is lower triangular: S[j][i] = 0 above the diagonal
-            for i in range(n):
-                parts.append(x_rows[j] + S[j][i] if i <= j else x_rows[j])
-            for i in range(n):
-                parts.append(x_rows[j] - S[j][i] if i <= j else x_rows[j])
-            rows.append(jnp.concatenate(parts))
-        return jnp.stack(rows)
+        pts = [list(x_rows)]
+        for i in range(n):
+            # column i of lower-triangular S: zeros above the diagonal
+            pts.append([x_rows[j] + S[j][i] if i <= j else x_rows[j]
+                        for j in range(n)])
+        for i in range(n):
+            pts.append([x_rows[j] - S[j][i] if i <= j else x_rows[j]
+                        for j in range(n)])
+        return pts
 
-    def wsum(rows_wide, w):
-        # rows_wide (r, K*B) -> list r of weighted (B,) sums over the K span
-        out = []
-        for j in range(rows_wide.shape[0]):
-            acc = None
-            for k in range(K):
-                term = w[k] * rows_wide[j, k * B:(k + 1) * B]
-                acc = term if acc is None else acc + term
-            out.append(acc)
-        return out
+    def call_rows(fn, args, r):
+        # call the user plant on lists of (B,) rows; normalize the output
+        # (jnp.stack array OR list from slicing) back to a row list
+        out = fn(*args)
+        return [out[j] for j in range(r)]
+
+    def wsum_pts(rows_k, j, w):
+        acc = None
+        for k in range(K):
+            term = w[k] * rows_k[k][j]
+            acc = term if acc is None else acc + term
+        return acc
 
     def body(t, carry):
         X, Pv, ll = carry
         x_rows = [X[j] for j in range(n)]
         P_rows = [[Pv[i * n + j] for j in range(n)] for i in range(n)]
 
-        u_step = u_ref[pl.ds(t * m, m), :]            # (m, B)
-        u_wide = jnp.concatenate([u_step] * K, axis=1)  # (m, K*B)
+        u_step = u_ref[t]                              # (m, B)
+        u_rows = [u_step[a] for a in range(m)]
 
-        # predict: propagate all sigma points through f in ONE eval
-        pts = sigma_wide(x_rows, P_rows)
-        fx = f(pts, u_wide)                            # (n, K*B)
-        x_p = wsum(fx, wm)
-        dX = [[fx[j, k * B:(k + 1) * B] - x_p[j] for k in range(K)]
-              for j in range(n)]
+        # predict: propagate every sigma point through f (inlined traces)
+        pts = sigma_list(x_rows, P_rows)
+        fx = [call_rows(f, (pts[k], u_rows), n) for k in range(K)]
+        x_p = [wsum_pts(fx, j, wm) for j in range(n)]
+        dX = [[fx[k][j] - x_p[j] for k in range(K)] for j in range(n)]
         P_p = [[None] * n for _ in range(n)]
         for i in range(n):
             for j in range(i, n):
@@ -122,13 +124,11 @@ def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
                 P_p[j][i] = acc
 
         # update: re-draw sigma points from the predicted density
-        pts2 = sigma_wide(x_p, P_p)
-        hy = h(pts2)                                   # (p, K*B)
-        y_p = wsum(hy, wm)
-        dY = [[hy[c, k * B:(k + 1) * B] - y_p[c] for k in range(K)]
-              for c in range(p)]
-        dX2 = [[pts2[j, k * B:(k + 1) * B] - x_p[j] for k in range(K)]
-               for j in range(n)]
+        pts2 = sigma_list(x_p, P_p)
+        hy = [call_rows(h, (pts2[k],), p) for k in range(K)]
+        y_p = [wsum_pts(hy, c, wm) for c in range(p)]
+        dY = [[hy[k][c] - y_p[c] for k in range(K)] for c in range(p)]
+        dX2 = [[pts2[k][j] - x_p[j] for k in range(K)] for j in range(n)]
         S = [[None] * p for _ in range(p)]
         for a in range(p):
             for b_ in range(a, p):
@@ -168,7 +168,7 @@ def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
                 W[a][j] = acc / L[a][a]
         # Kg[j][a] = W[a][j] (K_gain = Pxy S^-1, (n, p))
 
-        y_step = y_ref[pl.ds(t * p, p), :]             # (p, B)
+        y_step = y_ref[t]                              # (p, B)
         v = [y_step[c] - y_p[c] for c in range(p)]
         x_f = []
         for j in range(n):
@@ -211,11 +211,11 @@ def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
         c0 = p * jnp.log(jnp.asarray(2.0 * jnp.pi, X.dtype))
         ll = ll - 0.5 * (sq + c0) - logdet
 
-        xf_ref[pl.ds(t * n, n), :] = jnp.stack(x_f)
-        xp_ref[pl.ds(t * n, n), :] = jnp.stack(x_p)
-        Pf_ref[pl.ds(t * n * n, n * n), :] = jnp.stack(
+        xf_ref[t] = jnp.stack(x_f)
+        xp_ref[t] = jnp.stack(x_p)
+        Pf_ref[t] = jnp.stack(
             [P_f[i][j] for i in range(n) for j in range(n)])
-        Pp_ref[pl.ds(t * n * n, n * n), :] = jnp.stack(
+        Pp_ref[t] = jnp.stack(
             [P_p[i][j] for i in range(n) for j in range(n)])
         X_new = jnp.stack(x_f)
         Pv_new = jnp.stack([P_f[i][j] for i in range(n) for j in range(n)])
@@ -253,42 +253,48 @@ def ukf_pallas(f, h, Q, R, x0s, P0, yss, uss, alpha: float = 1.0,
 
     tile_b = min(tile_b, _round_up(B, 128))
     B_pad = _round_up(B, tile_b)
+    # time as the MAJOR axis: dynamic t-indexing then addresses whole
+    # (rows, lanes) tiles — dynamic SUBLANE offsets (a (T*p, B) layout
+    # with pl.ds(t*p, p)) crash Mosaic's layout inference
+    # (layout.h Check failed: offsets_[0] < tiling_[0], observed v5e)
     x0c = x0s.T                                        # (n, B)
-    ysc = yss.transpose(1, 2, 0).reshape(T * p, B)
-    usc = uss.transpose(1, 2, 0).reshape(T * m, B)
+    ysc = yss.transpose(1, 2, 0)                       # (T, p, B)
+    usc = uss.transpose(1, 2, 0)                       # (T, m, B)
     if B_pad != B:
         pad = B_pad - B
         x0c = jnp.concatenate([x0c, jnp.zeros((n, pad), dt)], axis=1)
-        ysc = jnp.concatenate([ysc, jnp.zeros((T * p, pad), dt)], axis=1)
-        usc = jnp.concatenate([usc, jnp.zeros((T * m, pad), dt)], axis=1)
+        ysc = jnp.concatenate(
+            [ysc, jnp.zeros((T, p, pad), dt)], axis=2)
+        usc = jnp.concatenate(
+            [usc, jnp.zeros((T, m, pad), dt)], axis=2)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.SMEM)
     vmem = lambda rows: pl.BlockSpec((rows, tile_b), lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
+    vmem_t = lambda rows: pl.BlockSpec((T, rows, tile_b),
+                                       lambda i: (0, 0, i),
+                                       memory_space=pltpu.VMEM)
     xf, xp, Pf, Pp, ll = pl.pallas_call(
         functools.partial(_ukf_kernel, f=f, h=h, n=n, p=p, m=m, T=T,
                           wm=wm, wc=wc, c_sig=float(c_sig), jitter=1e-9),
         grid=(B_pad // tile_b,),
         in_specs=[smem((n, n)), smem((p, p)), smem((n, n)),
-                  vmem(n), vmem(T * p), vmem(T * m)],
-        out_specs=(vmem(T * n), vmem(T * n), vmem(T * n * n),
-                   vmem(T * n * n), vmem(1)),
+                  vmem(n), vmem_t(p), vmem_t(m)],
+        out_specs=(vmem_t(n), vmem_t(n), vmem_t(n * n),
+                   vmem_t(n * n), vmem(1)),
         out_shape=(
-            jax.ShapeDtypeStruct((T * n, B_pad), dt),
-            jax.ShapeDtypeStruct((T * n, B_pad), dt),
-            jax.ShapeDtypeStruct((T * n * n, B_pad), dt),
-            jax.ShapeDtypeStruct((T * n * n, B_pad), dt),
+            jax.ShapeDtypeStruct((T, n, B_pad), dt),
+            jax.ShapeDtypeStruct((T, n, B_pad), dt),
+            jax.ShapeDtypeStruct((T, n * n, B_pad), dt),
+            jax.ShapeDtypeStruct((T, n * n, B_pad), dt),
             jax.ShapeDtypeStruct((1, B_pad), dt),
         ),
         interpret=interpret,
     )(Q, R, P0, x0c, ysc, usc)
 
-    def unpack(a, r):
-        return a[:, :B].reshape(T, r, B).transpose(2, 0, 1)
-
-    xs_f = unpack(xf, n)
-    xs_p = unpack(xp, n)
-    Ps_f = unpack(Pf, n * n).reshape(B, T, n, n)
-    Ps_p = unpack(Pp, n * n).reshape(B, T, n, n)
+    xs_f = xf[:, :, :B].transpose(2, 0, 1)
+    xs_p = xp[:, :, :B].transpose(2, 0, 1)
+    Ps_f = Pf[:, :, :B].transpose(2, 0, 1).reshape(B, T, n, n)
+    Ps_p = Pp[:, :, :B].transpose(2, 0, 1).reshape(B, T, n, n)
     return xs_f, Ps_f, xs_p, Ps_p, ll[0, :B]
