@@ -147,6 +147,7 @@ PLAUSIBILITY_BANDS = {
     "kalman_batched_updates_per_sec": (1e9, 4e10),
     "pf_particle_steps_per_sec": (5e7, 2e9),
     "ukf_updates_per_sec": (2e6, 3e9),   # r5 fused kernel: ~880M
+    "ekf_updates_per_sec": (5e6, 2e10),  # r5 fused kernel: ~3.4B
     "kalman_assoc_ms": (0.25, 6.0),
     "kalman_assoc_speedup": (4.0, 60.0),
     "shardmap_overhead_pct": (-3.0, 60.0),
@@ -688,6 +689,22 @@ def bench_estimation(scenarios: int, reps: int):
         f"{t_u*1e3:.2f} ms/batch -> {N_ukf*T_ukf/t_u/1e6:.1f}M updates/s"
     )
     rows["ukf_updates_per_sec"] = (N_ukf * T_ukf / t_u, "updates/s")
+
+    # batched EKF (r5 fused kernel with in-kernel jvp Jacobians; the
+    # vmapped XLA path measured 2.77 ms at this shape)
+    from numpower_tpu.models.estimation import ekf_filter_batched
+
+    t_e = _device_time_per_call(
+        lambda x0s, ys, us, i: ekf_filter_batched(
+            f_pend, h_pend, Q, R, x0s + i * 1e-6, P0, ys,
+            us).log_likelihood[0],
+        (x0_u, ys_u, us_u), K=512 if scenarios >= 2048 else 32, reps=reps,
+    )
+    _log(
+        f"[ekf]    {N_ukf}-trajectory batched EKF T={T_ukf} (pendulum): "
+        f"{t_e*1e3:.3f} ms/batch -> {N_ukf*T_ukf/t_e/1e6:.1f}M updates/s"
+    )
+    rows["ekf_updates_per_sec"] = (N_ukf * T_ukf / t_e, "updates/s")
 
     # long-horizon: sequential scan vs associative O(log T)
     T_long = 4096

@@ -759,6 +759,41 @@ def kalman_filter_associative(
                         pred_covs=Ps_p, log_likelihood=jnp.sum(lls))
 
 
+def ekf_filter_batched(
+    f: Callable,
+    h: Callable,
+    Q: jax.Array,
+    R: jax.Array,
+    x0s: jax.Array,      # (B, n)
+    P0: jax.Array,       # (n, n) shared prior
+    yss: jax.Array,      # (B, T, p)
+    uss: jax.Array,      # (B, T, m)
+    method: str = "auto",
+) -> KalmanResult:
+    """Batched EKF over B trajectories.
+
+    method="xla" vmaps ekf_filter; "pallas" runs the whole filter in one
+    kernel (kernels/ekf.py — Jacobians via in-kernel forward-mode jvp of
+    the user plant on lane rows). Same plant-style contract as
+    ukf_filter_batched's pallas path."""
+    if method == "auto":
+        ok_dims = (x0s.shape[1] <= 8 and yss.shape[2] <= 4
+                   and uss.shape[2] <= 4)
+        method = ("pallas" if ok_dims
+                  and jax.default_backend() in ("tpu", "axon") else "xla")
+    if method == "pallas":
+        from numpower_tpu.kernels.ekf import ekf_pallas
+
+        xs_f, Ps_f, xs_p, Ps_p, ll = ekf_pallas(
+            f, h, Q, R, x0s, P0, yss, uss,
+            interpret=jax.default_backend() not in ("tpu", "axon"))
+        return KalmanResult(means=xs_f, covs=Ps_f, pred_means=xs_p,
+                            pred_covs=Ps_p, log_likelihood=ll)
+    return jax.vmap(
+        lambda x0, ys, us: ekf_filter(f, h, Q, R, x0, P0, ys, us)
+    )(x0s, yss, uss)
+
+
 def ukf_filter_batched(
     f: Callable,
     h: Callable,

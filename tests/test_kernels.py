@@ -430,3 +430,71 @@ def test_ukf_pallas_multi_obs_dims():
     np.testing.assert_allclose(np.asarray(pk.log_likelihood),
                                np.asarray(ref.log_likelihood), rtol=1e-3,
                                atol=5e-3)
+
+
+def test_ekf_pallas_matches_vmap():
+    """Whole-T batched EKF kernel (kernels/ekf.py, in-kernel jvp
+    Jacobians) vs the vmapped XLA filter."""
+    from numpower_tpu.models.estimation import ekf_filter_batched
+
+    def f_pend(x, u):
+        th, om = x[0], x[1]
+        return jnp.stack(
+            [th + 0.05 * om, om - 0.05 * 9.81 * jnp.sin(th) + 0.05 * u[0]])
+
+    def h_pend(x):
+        return x[:1]
+
+    rng = np.random.default_rng(3)
+    B, T = 7, 20
+    Q = jnp.eye(2) * 1e-3
+    R = jnp.eye(1) * 1e-2
+    P0 = jnp.eye(2) * 0.1
+    ys = jnp.asarray(rng.standard_normal((B, T, 1)).astype(np.float32))
+    us = jnp.asarray(0.1 * rng.standard_normal((B, T, 1)).astype(np.float32))
+    x0s = jnp.asarray(0.3 * rng.standard_normal((B, 2)).astype(np.float32))
+    ref = ekf_filter_batched(f_pend, h_pend, Q, R, x0s, P0, ys, us,
+                             method="xla")
+    pk = ekf_filter_batched(f_pend, h_pend, Q, R, x0s, P0, ys, us,
+                            method="pallas")
+    np.testing.assert_allclose(np.asarray(pk.means), np.asarray(ref.means),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pk.covs), np.asarray(ref.covs),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pk.pred_means),
+                               np.asarray(ref.pred_means), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pk.log_likelihood),
+                               np.asarray(ref.log_likelihood), rtol=1e-3,
+                               atol=5e-3)
+
+
+def test_ekf_pallas_multi_obs_dims():
+    from numpower_tpu.models.estimation import ekf_filter_batched
+
+    def f3(x, u):
+        return jnp.stack([
+            x[0] + 0.1 * x[1],
+            x[1] + 0.1 * x[2] + 0.05 * u[0],
+            0.95 * x[2] + 0.1 * jnp.tanh(x[0]) + 0.05 * u[1],
+        ])
+
+    def h3(x):
+        return jnp.stack([x[0], x[1] + 0.5 * x[2]])
+
+    rng = np.random.default_rng(10)
+    B, T = 6, 15
+    Q = jnp.eye(3) * 1e-3
+    R = jnp.eye(2) * 1e-2
+    P0 = jnp.eye(3) * 0.2
+    ys = jnp.asarray(rng.standard_normal((B, T, 2)).astype(np.float32))
+    us = jnp.asarray(0.1 * rng.standard_normal((B, T, 2)).astype(np.float32))
+    x0s = jnp.asarray(0.3 * rng.standard_normal((B, 3)).astype(np.float32))
+    ref = ekf_filter_batched(f3, h3, Q, R, x0s, P0, ys, us, method="xla")
+    pk = ekf_filter_batched(f3, h3, Q, R, x0s, P0, ys, us, method="pallas")
+    np.testing.assert_allclose(np.asarray(pk.means), np.asarray(ref.means),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pk.covs), np.asarray(ref.covs),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pk.log_likelihood),
+                               np.asarray(ref.log_likelihood), rtol=1e-3,
+                               atol=5e-3)
