@@ -174,3 +174,62 @@ def test_solver_families_dp_any_mesh():
                                 mesh, B=B, uss=None, iters=20)
     assert np.isfinite(float(mworst))
     assert mres.xs.shape[0] == 4 * D
+
+
+def test_kalman_batched_dp_any_mesh():
+    """DP batched-KF on whatever mesh exists. On TPU the per-device body
+    routes to the r5 fused mean-pass kernel (method='auto') — this is the
+    kernel-inside-shard_map combination the on-chip lane must cover."""
+    from numpower_tpu.models.estimation import kalman_filter_batched
+    from numpower_tpu.parallel.sharding import kalman_filter_batched_dp
+
+    D = _D()
+    mesh = make_mesh((D, 1))
+    A = jnp.asarray([[1.0, 0.1], [0.0, 1.0]])
+    C = jnp.asarray([[1.0, 0.0]])
+    Q = jnp.eye(2) * 1e-3
+    R = jnp.eye(1) * 1e-2
+    P0 = jnp.eye(2) * 0.1
+    rng = np.random.default_rng(8)
+    N, T = 16 * D, 25
+    yss = jnp.asarray(rng.standard_normal((N, T, 1)).astype(np.float32))
+    x0s = jnp.asarray(rng.standard_normal((N, 2)).astype(np.float32))
+    res, total_ll = kalman_filter_batched_dp(
+        A, C, Q, R, shard_batch(x0s, mesh), P0, shard_batch(yss, mesh),
+        mesh)
+    ref = kalman_filter_batched(A, C, Q, R, x0s, P0, yss)
+    np.testing.assert_allclose(np.asarray(res.means), np.asarray(ref.means),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(total_ll),
+                               float(jnp.sum(ref.log_likelihood)),
+                               rtol=1e-5)
+
+
+def test_estimator_kernels_batched_any_backend():
+    """ukf/ekf_filter_batched auto path on the active backend (pallas on
+    TPU, xla on the CPU lane) against the explicit xla path."""
+    from numpower_tpu.models.estimation import (
+        ekf_filter_batched, ukf_filter_batched,
+    )
+
+    def f_pend(x, u):
+        th, om = x[0], x[1]
+        return jnp.stack(
+            [th + 0.05 * om, om - 0.05 * 9.81 * jnp.sin(th) + 0.05 * u[0]])
+
+    def h_pend(x):
+        return x[:1]
+
+    rng = np.random.default_rng(4)
+    B, T = 8, 12
+    Q = jnp.eye(2) * 1e-3
+    R = jnp.eye(1) * 1e-2
+    P0 = jnp.eye(2) * 0.1
+    ys = jnp.asarray(rng.standard_normal((B, T, 1)).astype(np.float32))
+    us = jnp.asarray(0.1 * rng.standard_normal((B, T, 1)).astype(np.float32))
+    x0s = jnp.asarray(0.3 * rng.standard_normal((B, 2)).astype(np.float32))
+    for fn in (ukf_filter_batched, ekf_filter_batched):
+        auto = fn(f_pend, h_pend, Q, R, x0s, P0, ys, us)
+        ref = fn(f_pend, h_pend, Q, R, x0s, P0, ys, us, method="xla")
+        np.testing.assert_allclose(np.asarray(auto.means),
+                                   np.asarray(ref.means), atol=1e-4)
