@@ -74,3 +74,20 @@ pf = particle_filter(pendulum_step, h, jnp.eye(2) * 1e-4, jnp.eye(1) * 1e-3,
                      jax.random.key(0), n_particles=2048)
 e = np.abs(np.asarray(pf.means)[:, 0] - np.asarray(xs_t)[1:, 0]).mean()
 print(f"PF pendulum angle err: {e:.4f} (min ESS {float(pf.ess.min()):.0f})")
+
+# batched fleets: ekf/ukf_filter_batched run B trajectories at once; on TPU
+# they route through the r5 fused whole-T kernels (kernels/ekf.py, ukf.py —
+# 185x / 80x over the vmapped filters at B=1024)
+from numpower_tpu.models import ekf_filter_batched, ukf_filter_batched  # noqa: E402
+
+Bn = 16
+ys_b = jnp.broadcast_to(ys2, (Bn,) + ys2.shape)
+us_b = jnp.zeros((Bn, 40, 1))
+x0s_b = jnp.asarray(
+    np.tile([0.5, 0.0], (Bn, 1)) + 0.05 * rng.standard_normal((Bn, 2)),
+    jnp.float32)
+for name, fb in [("EKF", ekf_filter_batched), ("UKF", ukf_filter_batched)]:
+    rb = fb(pendulum_step, h, jnp.eye(2) * 1e-4, jnp.eye(1) * 1e-3,
+            x0s_b, jnp.eye(2), ys_b, us_b)
+    print(f"batched {name}: {Bn} trajectories, "
+          f"mean ll {float(rb.log_likelihood.mean()):.1f}")
