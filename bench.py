@@ -688,6 +688,10 @@ def bench_estimation(scenarios: int, reps: int):
         f"[ukf]    {N_ukf}-trajectory vmapped UKF T={T_ukf} (pendulum): "
         f"{t_u*1e3:.2f} ms/batch -> {N_ukf*T_ukf/t_u/1e6:.1f}M updates/s"
     )
+    from numpower_tpu.utils.flops import ekf_batched_cost, ukf_batched_cost
+
+    _log(roofline_report(f"batched UKF N={N_ukf} T={T_ukf}",
+                         ukf_batched_cost(N_ukf, T_ukf, 2, 1), t_u))
     rows["ukf_updates_per_sec"] = (N_ukf * T_ukf / t_u, "updates/s")
 
     # batched EKF (r5 fused kernel with in-kernel jvp Jacobians; the
@@ -704,6 +708,8 @@ def bench_estimation(scenarios: int, reps: int):
         f"[ekf]    {N_ukf}-trajectory batched EKF T={T_ukf} (pendulum): "
         f"{t_e*1e3:.3f} ms/batch -> {N_ukf*T_ukf/t_e/1e6:.1f}M updates/s"
     )
+    _log(roofline_report(f"batched EKF N={N_ukf} T={T_ukf}",
+                         ekf_batched_cost(N_ukf, T_ukf, 2, 1), t_e))
     rows["ekf_updates_per_sec"] = (N_ukf * T_ukf / t_e, "updates/s")
 
     # long-horizon: sequential scan vs associative O(log T)

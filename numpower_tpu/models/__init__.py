@@ -33,7 +33,7 @@ from numpower_tpu.models.estimation import (  # noqa: F401
     KalmanResult, SmootherResult, SqrtKalmanResult, kalman_filter,
     kalman_filter_batched, kalman_filter_associative, kalman_filter_sqrt,
     kalman_smoother, kalman_smoother_associative, ekf_filter, ukf_filter,
-    ukf_filter_batched, ekf_filter_batched,
+    ukf_filter_batched, ekf_filter_batched, kalman_filter_sqrt_batched,
 )
 from numpower_tpu.models.particle import (  # noqa: F401
     ParticleFilterResult, particle_filter, particle_filter_batched,

@@ -576,6 +576,93 @@ def kalman_filter_sqrt(
                             pred_chol_covs=Ss_p, log_likelihood=ll)
 
 
+def kalman_filter_sqrt_batched(A, C, Q, R, x0s, P0, yss, B=None, uss=None,
+                               method: str = "auto") -> SqrtKalmanResult:
+    """Batched square-root filter with SHARED A/C/Q/R/P0: the S = chol(P)
+    array recursion is data-independent, so it runs ONCE (T small QRs) and
+    only the mean/likelihood recurrence is batched — the same fast-path
+    structure as kalman_filter_batched, with the fp32-robust covariance
+    propagation of kalman_filter_sqrt. The per-step gains feed the same
+    affine mean recurrence (x_f = x_p + v @ W with W = (Kbar S_y^{-1})',
+    whitening invL = S_y^{-1}), so on TPU the batched pass reuses the
+    fused whole-T kernel (kernels/kalman_batched.py); method="xla" keeps
+    the scan, "auto" picks the kernel on TPU. Parity vs the vmapped
+    kalman_filter_sqrt asserted in tests."""
+    N, T, p = yss.shape
+    n = x0s.shape[1]
+    dt = x0s.dtype
+    if uss is None:
+        u_terms = jnp.zeros((N, T, n), dt)
+    else:
+        if B is None:
+            raise ValueError("uss requires B (the input matrix)")
+        u_terms = uss @ B.T
+
+    Sq = _psd_sqrt(Q)
+    Sr = _psd_sqrt(R)
+    S0 = _psd_sqrt(P0)
+    eye_p = jnp.eye(p, dtype=dt)
+
+    def cov_step(S, _):
+        pre_p = jnp.concatenate([S.T @ A.T, Sq.T], axis=0)
+        S_p = _positive_diag(jnp.linalg.qr(pre_p, mode="r").T)
+        pre_u = jnp.concatenate([
+            jnp.concatenate([S_p.T @ C.T, S_p.T], axis=1),
+            jnp.concatenate([Sr.T, jnp.zeros((p, n), dt)], axis=1),
+        ], axis=0)
+        L = _positive_diag(jnp.linalg.qr(pre_u, mode="r").T)
+        S_y = L[:p, :p]
+        Kbar = L[p:, :p]
+        S_f = L[p:, p:]
+        invSy = _trisolve(S_y, eye_p)                  # S_y^{-1} (p, p)
+        W = (Kbar @ invSy).T                           # (p, n)
+        logdet = jnp.sum(jnp.log(jnp.diagonal(S_y)))
+        return S_f, (W, invSy, logdet, S_f, S_p)
+
+    unroll = T if T <= 128 else 16
+    _, (Ws, invLs, logdets, Ss_f, Ss_p) = lax.scan(
+        cov_step, S0, None, length=T, unroll=unroll)
+
+    ys_t = jnp.swapaxes(yss, 0, 1)
+    us_t = jnp.swapaxes(u_terms, 0, 1)
+    c0 = jnp.asarray(p * jnp.log(2.0 * jnp.pi), dt)
+
+    if method == "auto":
+        method = ("pallas"
+                  if jax.default_backend() in ("tpu", "axon") else "xla")
+    if method == "pallas":
+        from numpower_tpu.kernels.kalman_batched import (
+            kalman_mean_pass_pallas,
+        )
+
+        xs_f, xs_p, ll = kalman_mean_pass_pallas(
+            A, C, Ws, invLs, logdets, x0s, ys_t,
+            us_t if uss is not None else None,
+            interpret=jax.default_backend() not in ("tpu", "axon"))
+    else:
+        def mean_step(carry, inputs):
+            x, ll = carry
+            y, u, W, invL, logdet = inputs
+            x_p = x @ A.T + u
+            v = y - x_p @ C.T
+            x_f = x_p + v @ W
+            alpha = v @ invL.T
+            ll = ll - 0.5 * (jnp.sum(alpha * alpha, axis=1) + c0) - logdet
+            return (x_f, ll), (x_f, x_p)
+
+        (_, ll), (xs_f, xs_p) = lax.scan(
+            mean_step, (x0s, jnp.zeros((N,), dt)),
+            (ys_t, us_t, Ws, invLs, logdets), unroll=unroll)
+        xs_f = xs_f  # (T, N, n)
+
+    return SqrtKalmanResult(
+        means=jnp.swapaxes(xs_f, 0, 1),
+        chol_covs=jnp.broadcast_to(Ss_f, (N, T, n, n)),
+        pred_means=jnp.swapaxes(xs_p, 0, 1),
+        pred_chol_covs=jnp.broadcast_to(Ss_p, (N, T, n, n)),
+        log_likelihood=ll)
+
+
 class _KFElement(NamedTuple):
     """Parallel-filter element (Sarkka & Garcia-Fernandez,
     "Temporal Parallelization of Bayesian Smoothers", IEEE TAC 2021): represents

@@ -262,6 +262,32 @@ def particle_filter_cost(B: int, Np: int, T: int, n: int, p: int,
     return RooflineCost(float(B * Np * T * step), float(bytes_moved))
 
 
+def ekf_batched_cost(B: int, T: int, n: int, p: int,
+                     plant_flops: int = 40) -> RooflineCost:
+    """kernels/ekf.py: per step n f-jvps (~2x plant each, plus the free
+    primal), n h-jvps (~2x the ~np-flop h), A P A' (2n^3), C-side terms
+    (~3pn^2 + p^2 n), the p-solve (~p^2 n) and the mean/ll updates.
+    Bytes: ys/us reads + filtered/predicted means and covariances writes
+    (the kernel's full contract)."""
+    step = (2 * n * plant_flops + 2 * n * 2 * n * p + 2 * n ** 3
+            + 3 * p * n * n + 2 * p * p * n + 4 * n * p + 6 * p)
+    bytes_moved = 4.0 * B * T * (p + 1 + 2 * n + 2 * n * n)
+    return RooflineCost(float(B * T * step), float(bytes_moved))
+
+
+def ukf_batched_cost(B: int, T: int, n: int, p: int,
+                     plant_flops: int = 40) -> RooflineCost:
+    """kernels/ukf.py: per step two unrolled Cholesky factorizations
+    (~n^3/3 each), 2n+1 plant + obs evals, the weighted moment sums
+    (~3(2n+1)n^2 class), and the p-solve/update."""
+    K = 2 * n + 1
+    step = (2 * (n ** 3) // 3 + K * (plant_flops + n * p)
+            + 3 * K * n * n + 2 * K * n + 2 * K * p * p
+            + 2 * p * p * n + 4 * n * p + 6 * p)
+    bytes_moved = 4.0 * B * T * (p + 1 + 2 * n + 2 * n * n)
+    return RooflineCost(float(B * T * step), float(bytes_moved))
+
+
 def pf_resample_cost(B: int, Np: int, T: int, n: int) -> KernelCost:
     """models/particle._systematic_resample (r4 one-hot MXU contraction):
     per step one (Np, Np) @ (Np, n) matmul per trajectory = 2 B Np^2 n

@@ -747,3 +747,32 @@ def test_particle_filter_gather_method_end_to_end(lti_data):
                                np.asarray(r_ga.means), atol=1e-6)
     np.testing.assert_allclose(float(r_oh.log_likelihood),
                                float(r_ga.log_likelihood), rtol=1e-6)
+
+
+def test_sqrt_batched_matches_vmapped_sqrt(lti_data):
+    """Shared-covariance batched sqrt filter (cov recursion once + batched
+    mean pass, r5) == vmapped kalman_filter_sqrt, both mean-pass methods."""
+    from numpower_tpu.models.estimation import (
+        kalman_filter_sqrt, kalman_filter_sqrt_batched,
+    )
+
+    A, B, C, Q, R, xs_true, ys = lti_data
+    rng = np.random.default_rng(6)
+    N, T = 32, ys.shape[0]
+    yss = jnp.asarray(rng.standard_normal((N, T, 1)).astype(np.float32))
+    x0s = jnp.asarray(rng.standard_normal((N, 2)).astype(np.float32))
+    P0 = jnp.eye(2) * 0.1
+    uss = jnp.asarray(rng.standard_normal((N, T, 1)).astype(np.float32))
+    Bm = jnp.asarray([[0.005], [0.1]])
+    ref = jax.vmap(lambda x0, y, u: kalman_filter_sqrt(
+        A, C, Q, R, x0, P0, y, B=Bm, us=u))(x0s, yss, uss)
+    for method in ("xla", "pallas"):
+        fast = kalman_filter_sqrt_batched(A, C, Q, R, x0s, P0, yss, B=Bm,
+                                          uss=uss, method=method)
+        np.testing.assert_allclose(np.asarray(fast.means),
+                                   np.asarray(ref.means), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(fast.log_likelihood),
+                                   np.asarray(ref.log_likelihood),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(fast.chol_covs),
+                                   np.asarray(ref.chol_covs), atol=1e-6)
