@@ -145,6 +145,7 @@ PLAUSIBILITY_BANDS = {
     "al_ilqr_solves_per_sec": (3e4, 8e5),
     "mppi_rollouts_per_sec": (1e7, 2e8),
     "kalman_batched_updates_per_sec": (1e9, 4e10),
+    "rts_batched_states_per_sec": (1e9, 4e10),  # bytes-SoL ~3.4e10 @4096x50
     "pf_particle_steps_per_sec": (5e7, 2e9),
     "ukf_updates_per_sec": (2e6, 3e9),   # r5 fused kernel: ~880M
     "ekf_updates_per_sec": (5e6, 2e10),  # r5 fused kernel: ~3.4B
@@ -607,6 +608,29 @@ def bench_estimation(scenarios: int, reps: int):
     _log(roofline_report(f"batched KF N={N} T={T}",
                          kalman_batched_cost(N, T, 2, 1), t))
     rows = {"kalman_batched_updates_per_sec": (N * T / t, "updates/s")}
+
+    # batched RTS smoother (r5): shared gain/cov recursions once + fused
+    # backward mean-pass kernel (kernels/rts_batched.py). Timed over a
+    # precomputed filter result, perturbed per-iteration so the smoother
+    # cannot hoist out of the timing loop.
+    from numpower_tpu.models.estimation import kalman_smoother_batched
+    from numpower_tpu.utils.flops import rts_batched_cost
+
+    filt_sm = jax.tree.map(
+        jax.block_until_ready,
+        kalman_filter_batched(A, C, Q, R, x0s, P0, yss))
+    t_sm = _device_time_per_call(
+        lambda filt, i: kalman_smoother_batched(
+            A, filt._replace(means=filt.means + i * 1e-6)).means[0, 0, 0],
+        (filt_sm,), K=2048 if scenarios >= 2048 else 256, reps=reps,
+    )
+    _log(
+        f"[rts]    {N}-trajectory batched RTS smoother T={T}: "
+        f"{t_sm*1e6:.2f} us/batch -> {N*T/t_sm/1e6:.1f}M smoothed states/s"
+    )
+    _log(roofline_report(f"batched RTS N={N} T={T}",
+                         rts_batched_cost(N, T, 2), t_sm))
+    rows["rts_batched_states_per_sec"] = (N * T / t_sm, "states/s")
 
     # particle filter: batched nonlinear SMC throughput (plant evals/s is
     # the cost driver: N_traj x n_particles x T pendulum steps per call)
@@ -1459,9 +1483,20 @@ def run_verify(scenarios: int, horizon: int):
         d2 = float(jnp.max(jnp.abs(fast.log_likelihood -
                                    ref.log_likelihood)))
         d3 = float(jnp.max(jnp.abs(fast.covs - ref.covs)))
-        assert d1 < 1e-4 and d2 < 1e-2 and d3 < 1e-5, \
-            f"means {d1:.2e}, ll {d2:.2e}, covs {d3:.2e}"
-        return f"N={Nk} T={Tk} means {d1:.1e}, ll {d2:.1e}, covs {d3:.1e}"
+        # batched RTS smoother (r5): fused backward kernel vs the vmapped
+        # sequential smoother, same compiled-on-backend contract
+        from numpower_tpu.models.estimation import (
+            kalman_smoother, kalman_smoother_batched,
+        )
+
+        sm = jax.jit(lambda f: kalman_smoother_batched(Ak, f))(fast)
+        sm_ref = jax.jit(jax.vmap(lambda m, c, pm, pc, ll: kalman_smoother(
+            Ak, type(ref)(m, c, pm, pc, ll))))(*ref)
+        d4 = float(jnp.max(jnp.abs(sm.means - sm_ref.means)))
+        assert d1 < 1e-4 and d2 < 1e-2 and d3 < 1e-5 and d4 < 1e-4, \
+            f"means {d1:.2e}, ll {d2:.2e}, covs {d3:.2e}, rts {d4:.2e}"
+        return (f"N={Nk} T={Tk} means {d1:.1e}, ll {d2:.1e}, "
+                f"covs {d3:.1e}, rts {d4:.1e}")
 
     def v_pf_resampling():
         # the PRODUCTION one-hot slot-boundary construction (r4: no

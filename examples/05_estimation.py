@@ -91,3 +91,20 @@ for name, fb in [("EKF", ekf_filter_batched), ("UKF", ukf_filter_batched)]:
             x0s_b, jnp.eye(2), ys_b, us_b)
     print(f"batched {name}: {Bn} trajectories, "
           f"mean ll {float(rb.log_likelihood.mean()):.1f}")
+
+# batched linear fleet + RTS: shared-covariance filter and shared-gain
+# smoother run the tiny recursions once and batch only the mean passes
+# (fused whole-T Pallas kernels on TPU: kernels/kalman_batched.py,
+# rts_batched.py)
+from numpower_tpu.models import (  # noqa: E402
+    kalman_filter_batched, kalman_smoother_batched,
+)
+
+ys_lb = jnp.broadcast_to(ys, (Bn,) + ys.shape)
+x0s_lb = jnp.asarray(
+    np.tile([1.0, 0.0], (Bn, 1)) + 0.05 * rng.standard_normal((Bn, 2)),
+    jnp.float32)
+fb = kalman_filter_batched(A, C, Q, R, x0s_lb, P0, ys_lb)
+smb = kalman_smoother_batched(A, fb)
+print(f"batched KF+RTS: {Bn} trajectories, smoother err "
+      f"{np.abs(np.asarray(smb.means)[:, :, 0] - xs_true[:, 0]).mean():.4f}")

@@ -32,7 +32,8 @@ from numpower_tpu.models.mppi import (  # noqa: F401
 from numpower_tpu.models.estimation import (  # noqa: F401
     KalmanResult, SmootherResult, SqrtKalmanResult, kalman_filter,
     kalman_filter_batched, kalman_filter_associative, kalman_filter_sqrt,
-    kalman_smoother, kalman_smoother_associative, ekf_filter, ukf_filter,
+    kalman_smoother, kalman_smoother_associative, kalman_smoother_batched,
+    ekf_filter, ukf_filter,
     ukf_filter_batched, ekf_filter_batched, kalman_filter_sqrt_batched,
 )
 from numpower_tpu.models.particle import (  # noqa: F401

@@ -367,6 +367,94 @@ def kalman_smoother(A: jax.Array, filt: KalmanResult) -> SmootherResult:
     return SmootherResult(means=xs_s, covs=Ps_s)
 
 
+def kalman_smoother_batched(A: jax.Array, filt: KalmanResult,
+                            method: str = "auto") -> SmootherResult:
+    """Batched RTS smoother over kalman_filter_batched output: filt.means
+    (N, T, n), filt.covs (N, T, n, n) with the covariances SHARED across
+    the batch (the kalman_filter_batched contract — A/C/Q/R/P0 common).
+
+    Same structural insight as the batched filter: the smoother gains
+    G_t = P_f[t] A' P_p[t+1]^-1 and the smoothed covariances depend only
+    on the (shared) filter covariances, so both recursions run ONCE on
+    tiny (n, n) matrices; only the mean backward recurrence
+
+        x_s[t] = x_s[t+1] @ G_t' + e_t,  e_t = x_f[t] - x_p[t+1] @ G_t'
+
+    is batched — and e_t is batch-parallel (one einsum), leaving T
+    sequential (N, n) affine updates. vmapping kalman_smoother instead
+    would replicate the Cholesky/gain recursion N times in (N, n, n)
+    batched small factorizations (the reference formulation — NumPower
+    users would loop eager ops per trajectory,
+    /root/reference/src/ndmath/linalg.c:770-1102).
+
+    method: "xla" runs the backward recurrence as an unrolled scan;
+    "pallas" routes it through the fused whole-T kernel
+    (kernels/rts_batched.py — state in registers, gains in SMEM, zero
+    per-step dispatch, the same cure as kernels/kalman_batched.py);
+    "auto" picks pallas on TPU. Parity asserted in
+    tests/test_estimation.py::test_smoother_batched_matches_vmap.
+    """
+    xs_f = filt.means                       # (N, T, n)
+    xs_p = filt.pred_means
+    P_fs = filt.covs[0]                     # (T, n, n) shared
+    P_ps = filt.pred_covs[0]
+    N, T, n = xs_f.shape
+    dt = xs_f.dtype
+    if T == 1:
+        return SmootherResult(means=xs_f, covs=filt.covs)
+
+    # shared gains G_t' = P_p[t+1]^-1 (A P_f[t]) — once, tiny matrices
+    def gain(P_f_t, P_p_next):
+        L = _chol(P_p_next)
+        return _chosolve(L, A @ P_f_t)      # (n, n) = G_t'
+
+    G_Ts = jax.vmap(gain)(P_fs[:-1], P_ps[1:])          # (T-1, n, n)
+
+    # shared smoothed-covariance backward recursion — once
+    unroll = T if T <= 128 else 16
+
+    def cov_step(P_s, inputs):
+        P_f_t, P_p_next, G_T = inputs
+        P_new = P_f_t + G_T.T @ (P_s - P_p_next) @ G_T
+        P_new = 0.5 * (P_new + P_new.T)
+        return P_new, P_new
+
+    _, Ps_rev = lax.scan(
+        cov_step, P_fs[-1],
+        (P_fs[:-1][::-1], P_ps[1:][::-1], G_Ts[::-1]), unroll=unroll)
+    Ps_s = jnp.concatenate([jnp.flip(Ps_rev, 0), P_fs[-1][None]], axis=0)
+
+    # batched affine terms, computed batch-parallel in one einsum
+    xs_p_t = jnp.swapaxes(xs_p, 0, 1)       # (T, N, n)
+    xs_f_t = jnp.swapaxes(xs_f, 0, 1)
+    es_t = xs_f_t[:-1] - jnp.einsum("tnj,tjk->tnk", xs_p_t[1:], G_Ts)
+
+    if method == "auto":
+        method = ("pallas"
+                  if jax.default_backend() in ("tpu", "axon") else "xla")
+    if method == "pallas":
+        from numpower_tpu.kernels.rts_batched import rts_mean_pass_pallas
+
+        xs_s = rts_mean_pass_pallas(
+            G_Ts, es_t, xs_f_t[-1],
+            interpret=jax.default_backend() not in ("tpu", "axon"))
+    else:
+        def mean_step(x, inputs):
+            e, G_T = inputs
+            x_new = x @ G_T + e             # (N, n)
+            return x_new, x_new
+
+        _, xs_rev = lax.scan(
+            mean_step, xs_f_t[-1], (es_t[::-1], G_Ts[::-1]),
+            unroll=unroll)
+        xs_s = jnp.concatenate(
+            [jnp.flip(xs_rev, 0), xs_f_t[-1][None]], axis=0)
+
+    return SmootherResult(
+        means=jnp.swapaxes(xs_s, 0, 1),
+        covs=jnp.broadcast_to(Ps_s, (N, T, n, n)))
+
+
 def kalman_smoother_associative(A: jax.Array, filt: KalmanResult
                                 ) -> SmootherResult:
     """Parallel-in-time RTS smoother: O(log T) depth associative scan — the

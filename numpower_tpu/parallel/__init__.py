@@ -4,7 +4,8 @@ from numpower_tpu.parallel.mesh import (  # noqa: F401
     make_mesh, data_sharding, model_sharding, replicated, shard_batch,
 )
 from numpower_tpu.parallel.sharding import (  # noqa: F401
-    kalman_filter_batched_dp, solve_mpc_boxqp_dp, solve_mpc_boxqp_admm_dp,
+    kalman_filter_batched_dp, kalman_smoother_batched_dp,
+    solve_mpc_boxqp_dp, solve_mpc_boxqp_admm_dp,
     solve_mpc_boxqp_dp_tp, sweep_statistics_dp,
 )
 from numpower_tpu.parallel.pipeline import rollout_lti_pipelined  # noqa: F401

@@ -401,3 +401,28 @@ def kalman_filter_batched_dp(A, C, Q, R, x0s, P0, yss, mesh: Mesh):
         check_vma=False,
     )
     return jax.jit(mapped)(A, C, Q, R, P0, x0s, yss)
+
+
+def kalman_smoother_batched_dp(A, filt, mesh: Mesh):
+    """Data-parallel batched RTS smoother over kalman_filter_batched_dp
+    output (every filt leaf sharded on axis 0): the backward mean pass is
+    batch-local, so each device smooths its trajectory shard with the
+    shared-gain fast path (models/estimation.kalman_smoother_batched —
+    fused Pallas backward kernel on TPU) and no collectives are needed."""
+    from numpower_tpu.models.estimation import (
+        KalmanResult, kalman_smoother_batched,
+    )
+
+    data_ax = mesh.axis_names[0]
+
+    def per_device(A, means, covs, pred_means, pred_covs, ll):
+        return kalman_smoother_batched(
+            A, KalmanResult(means, covs, pred_means, pred_covs, ll))
+
+    mapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(),) + (P(data_ax),) * 5,
+        out_specs=P(data_ax),
+    )
+    return jax.jit(mapped)(A, *filt)

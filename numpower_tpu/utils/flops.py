@@ -206,6 +206,18 @@ def kalman_batched_cost(N: int, T: int, n: int, p: int) -> RooflineCost:
     return RooflineCost(float(mean_flops + cov_flops), float(bytes_moved))
 
 
+def rts_batched_cost(N: int, T: int, n: int) -> RooflineCost:
+    """models/estimation.kalman_smoother_batched (shared-gain fast path):
+    gains/covariances run once on (n, n) matrices; the batched work is
+    the e_t einsum (2n^2 per element) + the backward affine recurrence
+    (2n^2). Bytes: read filtered+predicted means, write smoothed means
+    (broadcast covariance outputs DCE'd by consumers that skip them)."""
+    mean_flops = N * T * 4 * n * n
+    cov_flops = T * (10 * n ** 3)
+    bytes_moved = 4.0 * (3 * N * T * n)
+    return RooflineCost(float(mean_flops + cov_flops), float(bytes_moved))
+
+
 def _associative_cost(T: int, elem_floats: int,
                       combine_flops: float) -> RooflineCost:
     """lax.associative_scan work model: the odd-even recursive formulation

@@ -776,3 +776,50 @@ def test_sqrt_batched_matches_vmapped_sqrt(lti_data):
                                    rtol=2e-4, atol=2e-3)
         np.testing.assert_allclose(np.asarray(fast.chol_covs),
                                    np.asarray(ref.chol_covs), atol=1e-6)
+
+
+def test_smoother_batched_matches_vmap():
+    """Batched RTS smoother (shared gain/cov recursions once + batched
+    mean backward pass, r5) == vmapped kalman_smoother, both mean-pass
+    methods, with and without known inputs, n != p dims."""
+    from numpower_tpu.models.estimation import (
+        KalmanResult, kalman_smoother_batched,
+    )
+
+    rng = np.random.default_rng(11)
+    n, p, m, N, T = 3, 2, 2, 9, 23
+    A = jnp.asarray(np.eye(n) + 0.05 * rng.standard_normal((n, n)),
+                    jnp.float32)
+    C = jnp.asarray(rng.standard_normal((p, n)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+    Q = jnp.eye(n) * 0.01
+    R = jnp.eye(p) * 0.1
+    P0 = jnp.eye(n) * 0.5
+    x0s = jnp.asarray(rng.standard_normal((N, n)), jnp.float32)
+    yss = jnp.asarray(rng.standard_normal((N, T, p)), jnp.float32)
+    uss = jnp.asarray(0.3 * rng.standard_normal((N, T, m)), jnp.float32)
+    for kw in ({}, {"B": B, "uss": uss}):
+        filt = kalman_filter_batched(A, C, Q, R, x0s, P0, yss, **kw)
+        ref = jax.vmap(lambda m_, c, pm, pc, ll: kalman_smoother(
+            A, KalmanResult(m_, c, pm, pc, ll)))(*filt)
+        for method in ("xla", "pallas"):
+            fast = kalman_smoother_batched(A, filt, method=method)
+            np.testing.assert_allclose(
+                np.asarray(fast.means), np.asarray(ref.means),
+                rtol=1e-5, atol=1e-4, err_msg=f"means {method} {kw.keys()}")
+            np.testing.assert_allclose(
+                np.asarray(fast.covs), np.asarray(ref.covs),
+                rtol=1e-5, atol=1e-4, err_msg=f"covs {method}")
+
+
+def test_smoother_batched_t1_passthrough():
+    """T=1 degenerates to the filtered estimate (nothing to smooth)."""
+    from numpower_tpu.models.estimation import kalman_smoother_batched
+
+    A = jnp.eye(2)
+    filt = kalman_filter_batched(
+        A, jnp.eye(2)[:1], jnp.eye(2) * 0.01, jnp.eye(1) * 0.1,
+        jnp.zeros((4, 2)), jnp.eye(2), jnp.zeros((4, 1, 1)))
+    sm = kalman_smoother_batched(A, filt)
+    np.testing.assert_allclose(np.asarray(sm.means),
+                               np.asarray(filt.means))

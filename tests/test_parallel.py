@@ -457,6 +457,18 @@ def test_kalman_batched_dp_matches_single_device():
     np.testing.assert_allclose(float(total_ll),
                                float(jnp.sum(res_1d.log_likelihood)),
                                rtol=1e-5)
+    # DP RTS smoother over the sharded filter output (r5)
+    from numpower_tpu.models.estimation import kalman_smoother_batched
+    from numpower_tpu.parallel.sharding import kalman_smoother_batched_dp
+
+    sm_dp = kalman_smoother_batched_dp(jnp.asarray(A), res_dp, mesh)
+    sm_1d = kalman_smoother_batched(jnp.asarray(A), res_1d)
+    np.testing.assert_allclose(np.asarray(sm_dp.means),
+                               np.asarray(sm_1d.means),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sm_dp.covs),
+                               np.asarray(sm_1d.covs),
+                               rtol=1e-4, atol=1e-6)
 
 
 # --- sampling families on the mesh (r3 verdict next-round #5) -------------
