@@ -6,7 +6,7 @@ horizon-30 quadrotor box-constrained QP (config #4), target >=10,000 with a
 10 ms p50 latency budget. The LAST stdout line is a compact JSON summary:
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-     "verify_pass": bool, "verify_checks": "13/13", "rows_file": ...}
+     "verify_pass": bool, "verify_checks": "14/14", "rows_file": ...}
 
 and the FULL certify payload (every BASELINE section row, plausibility-gated
 with relay-artifact markers, plus per-check verify verdicts with error
@@ -143,7 +143,7 @@ PLAUSIBILITY_BANDS = {
     "serving_admm_tick_us": (15.0, 300.0),
     "solvers_admm_solves_per_sec": (1e7, 1.03e8),   # SoL ceiling ~100M
     "al_ilqr_solves_per_sec": (3e4, 8e5),
-    "mppi_rollouts_per_sec": (1e7, 2e8),
+    "mppi_rollouts_per_sec": (1e7, 5e9),  # r5 fused kernel: ~0.3-1B
     "kalman_batched_updates_per_sec": (1e9, 4e10),
     "rts_batched_states_per_sec": (1e9, 4e10),  # bytes-SoL ~3.4e10 @4096x50
     "pf_particle_steps_per_sec": (5e7, 2e9),
@@ -543,16 +543,21 @@ def bench_solvers_extra(scenarios: int, horizon: int, iters: int, reps: int):
     )
     rows["al_ilqr_solves_per_sec"] = (N_al / t, "solves/s")
 
-    # MPPI: N scenarios x K samples fused rollouts
+    # MPPI: N scenarios x K samples fused rollouts. On TPU method="auto"
+    # routes the whole solve through the fused kernel (kernels/mppi.py,
+    # r5) — ~0.5 ms/solve-batch, so the window needs K=64 to clear the
+    # >=25 ms sampling rule (the XLA path at ~14 ms was fine with K=4)
     N_mp, K_mp = max(1, min(scenarios // 16, 256)), 256
     cost_fn = quadratic_mppi_cost(Qp, Rp, QFp, jnp.zeros(2))
     key = jax.random.key(0)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     t = _device_time_per_call(
         lambda xs, k, i: jnp.sum(mppi_solve_batched(
             pendulum_step, xs + i * 1e-6, cost_fn, 40, k,
             samples=K_mp, iters=8, m=1,
         ).cost),
-        (x0s_p[:N_mp], key), K=4, reps=max(2, reps // 3),
+        (x0s_p[:N_mp], key), K=64 if on_tpu else 4,
+        reps=max(2, reps // 3),
     )
     rollouts = N_mp * K_mp * 8
     _log(
@@ -560,6 +565,10 @@ def bench_solvers_extra(scenarios: int, horizon: int, iters: int, reps: int):
         f"{t*1e3:.2f} ms/batch -> {N_mp/t:,.0f} solves/s "
         f"({rollouts/t/1e6:.1f} M rollouts/s)"
     )
+    from numpower_tpu.utils.flops import mppi_batched_cost, roofline_report
+
+    _log(roofline_report(f"MPPI N={N_mp} K={K_mp} T=40 iters=8",
+                         mppi_batched_cost(N_mp, K_mp, 8, 40, 1), t))
     rows["mppi_rollouts_per_sec"] = (rollouts / t, "rollouts/s")
     return rows
 
@@ -1580,6 +1589,41 @@ def run_verify(scenarios: int, horizon: int):
         assert d2 < 1e-3, f"PF dp vs single: {d2:.2e}"
         return f"mesh {Dv}dev: MPPI {d1:.1e}, PF {d2:.1e}"
 
+    def v_mppi_kernel():
+        # r5 fused whole-solve MPPI kernel (kernels/mppi.py) vs the
+        # vmapped XLA path, SAME key stream, compiled on the backend.
+        # iters=2: the full-depth iteration is chaotic under the
+        # argmin-sharp softmax (near-tied samples flip on fp
+        # reassociation — scripts/mppi_ab.py), so exact parity gates at
+        # low depth and the full-depth objective is checked relatively.
+        from numpower_tpu.models import (
+            mppi_solve_batched, pendulum_step, quadratic_mppi_cost,
+        )
+
+        Qp = jnp.diag(jnp.asarray([1.0, 0.1], jnp.float32))
+        Rp = jnp.eye(1, dtype=jnp.float32) * 0.01
+        QFp = jnp.diag(jnp.asarray([100.0, 10.0], jnp.float32))
+        cost_fn = quadratic_mppi_cost(Qp, Rp, QFp, jnp.zeros(2))
+        x0sm = jnp.asarray(
+            np.random.default_rng(8).uniform(-np.pi, np.pi, (16, 2)),
+            jnp.float32)
+        keym = jax.random.key(0)
+        kwm = dict(samples=128, m=1)
+        r2 = mppi_solve_batched(pendulum_step, x0sm, cost_fn, 20, keym,
+                                method="xla", iters=2, **kwm)
+        p2 = mppi_solve_batched(pendulum_step, x0sm, cost_fn, 20, keym,
+                                method="pallas", iters=2, **kwm)
+        d1 = float(jnp.max(jnp.abs(p2.us - r2.us)))
+        r8 = mppi_solve_batched(pendulum_step, x0sm, cost_fn, 20, keym,
+                                method="xla", iters=8, **kwm)
+        p8 = mppi_solve_batched(pendulum_step, x0sm, cost_fn, 20, keym,
+                                method="pallas", iters=8, **kwm)
+        d2 = float(jnp.max(jnp.abs(p8.cost - r8.cost)
+                           / (1.0 + jnp.abs(r8.cost))))
+        assert d1 < 2e-3 and d2 < 5e-2, \
+            f"iters=2 us {d1:.2e}, iters=8 cost rel {d2:.2e}"
+        return f"iters=2 us {d1:.1e}, iters=8 cost rel {d2:.1e}"
+
     check("fista_kernel_compiled", v_fista)
     check("admm_kernel_compiled", v_admm)
     check("small_matrix_kernels", v_small_matrix_kernels)
@@ -1592,6 +1636,7 @@ def run_verify(scenarios: int, horizon: int):
     check("kalman_batched_fast_path", v_kalman_batched_fast_path)
     check("pf_resampling_indices", v_pf_resampling)
     check("sampling_dp_on_mesh", v_sampling_dp)
+    check("mppi_kernel_compiled", v_mppi_kernel)
     # last: a relay PJRT without host callbacks could stall rather than
     # raise on the traced path — keep every other verdict printed first
     check("jit_eig", v_jit_eig)

@@ -206,6 +206,23 @@ def kalman_batched_cost(N: int, T: int, n: int, p: int) -> RooflineCost:
     return RooflineCost(float(mean_flops + cov_flops), float(bytes_moved))
 
 
+def mppi_batched_cost(N: int, K: int, iters: int, T: int, m: int,
+                      plant_flops: int = 12,
+                      cost_flops: int = 14) -> RooflineCost:
+    """models/mppi.mppi_solve_batched (fused kernel or XLA): the work is
+    iters full K-sample rollouts per scenario — per step one plant eval,
+    one stage cost, candidate formation (~4 ops/input), plus the
+    per-round coupling/softmax/update (~8 ops per (t, m) element).
+    Bytes: the pre-generated eps tensor read once (the dominant stream;
+    its generation is itemized separately in scripts/mppi_ab.py) plus
+    x0/us I/O."""
+    per_step = plant_flops + cost_flops + 4 * m
+    flops = (N * K * iters * (T * per_step + 8 * T * m + 6)
+             + N * T * m * iters * 4)
+    bytes_moved = 4.0 * (iters * T * m * N * K + N * T * m + N * 2)
+    return RooflineCost(float(flops), float(bytes_moved))
+
+
 def rts_batched_cost(N: int, T: int, n: int) -> RooflineCost:
     """models/estimation.kalman_smoother_batched (shared-gain fast path):
     gains/covariances run once on (n, n) matrices; the batched work is

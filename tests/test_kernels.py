@@ -498,3 +498,59 @@ def test_ekf_pallas_multi_obs_dims():
     np.testing.assert_allclose(np.asarray(pk.log_likelihood),
                                np.asarray(ref.log_likelihood), rtol=1e-3,
                                atol=5e-3)
+
+
+def test_mppi_pallas_matches_xla():
+    """Fused whole-solve MPPI kernel (kernels/mppi.py): exact same key
+    stream as the vmapped XLA path, so results match to fp-reassociation
+    tolerance — unbounded and box-bounded, non-multiple-of-SC scenario
+    counts (pad path), warm start."""
+    from numpower_tpu.models import (
+        mppi_solve_batched, pendulum_step, quadratic_mppi_cost,
+    )
+
+    Qp = jnp.diag(jnp.array([1.0, 0.1]))
+    Rp = jnp.eye(1) * 0.01
+    QFp = jnp.diag(jnp.array([100.0, 10.0]))
+    cost = quadratic_mppi_cost(Qp, Rp, QFp, jnp.zeros(2))
+    assert hasattr(cost, "rows")
+    rng = np.random.default_rng(8)
+    x0s = jnp.asarray(rng.uniform(-np.pi, np.pi, (6, 2)), jnp.float32)
+    key = jax.random.key(3)
+    us0 = jnp.asarray(0.1 * rng.standard_normal((12, 1)), jnp.float32)
+    for kw in (
+        dict(samples=128, iters=4, m=1),
+        dict(samples=128, iters=3, m=1, u_lo=-2.0, u_hi=2.0, sigma=0.7,
+             lam=0.5),
+        dict(samples=128, iters=2, us_init=us0),
+    ):
+        ref = mppi_solve_batched(pendulum_step, x0s, cost, 12, key,
+                                 method="xla", **kw)
+        pal = mppi_solve_batched(pendulum_step, x0s, cost, 12, key,
+                                 method="pallas", **kw)
+        np.testing.assert_allclose(np.asarray(pal.us), np.asarray(ref.us),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(pal.ess),
+                                   np.asarray(ref.ess), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(pal.cost),
+                                   np.asarray(ref.cost), rtol=1e-4)
+
+
+def test_mppi_pallas_eligibility():
+    """Ineligible configs must raise on explicit method='pallas' and fall
+    back silently on 'auto'."""
+    from numpower_tpu.models import (
+        mppi_solve_batched, pendulum_step, quadratic_mppi_cost,
+    )
+
+    cost = quadratic_mppi_cost(jnp.eye(2), jnp.eye(1), jnp.eye(2),
+                               jnp.zeros(2))
+    x0s = jnp.zeros((2, 2))
+    key = jax.random.key(0)
+    with pytest.raises(ValueError):
+        mppi_solve_batched(pendulum_step, x0s, cost, 8, key,
+                           method="pallas", samples=100, m=1)
+    # auto falls back to xla (samples not lane-aligned) and still solves
+    r = mppi_solve_batched(pendulum_step, x0s, cost, 8, key,
+                           method="auto", samples=100, iters=2, m=1)
+    assert bool(jnp.all(jnp.isfinite(r.us)))
