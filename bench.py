@@ -136,13 +136,13 @@ PLAUSIBILITY_BANDS = {
     "riccati_assoc_ms": (1.2, 15.0),
     "riccati_assoc_speedup": (2.0, 40.0),
     "config3_ilqr_ms": (0.8, 12.0),
-    "config3b_batched_ilqr_solves_per_sec": (5e4, 1e6),
+    "config3b_batched_ilqr_solves_per_sec": (5e4, 5e6),  # r5 fwd kernel
     "ilqr_backward_fused_ms": (0.001, 0.5),
     "tube_sweep_rollouts_per_sec": (2e7, 2.5e8),
     "serving_fista_tick_us": (15.0, 300.0),
     "serving_admm_tick_us": (15.0, 300.0),
     "solvers_admm_solves_per_sec": (1e7, 1.03e8),   # SoL ceiling ~100M
-    "al_ilqr_solves_per_sec": (3e4, 8e5),
+    "al_ilqr_solves_per_sec": (3e4, 3e6),  # r5 fwd kernel
     "mppi_rollouts_per_sec": (1e7, 5e9),  # r5 fused kernel: ~0.3-1B
     "kalman_batched_updates_per_sec": (1e9, 4e10),
     "rts_batched_states_per_sec": (1e9, 4e10),  # bytes-SoL ~3.4e10 @4096x50

@@ -186,8 +186,14 @@ def _al_ilqr_solve_batched_fused(
     mu_scale: float = 8.0, reg: float = 1e-3, use_fd: bool = False,
     fd_eps: float = 1e-4, us_init=None,
     alphas: Tuple[float, ...] = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01),
-    interpret: bool = False,
+    interpret: bool = False, forward: str = "pallas",
 ) -> ALILQRResult:
+    """forward="pallas" (default) runs the line-search rollouts through
+    the whole-T fused kernel (kernels/ilqr_forward.py — the measured
+    per-iteration cost driver, scripts/ilqr_breakdown.py); the AL
+    penalty is added to the kernel's quadratic costs batch-parallel
+    outside (one fused reduction over the candidate controls).
+    "xla" restores the vmapped scan."""
     from numpower_tpu.kernels.ilqr_backward import ilqr_backward_fused
 
     N = x0s.shape[0]
@@ -233,15 +239,35 @@ def _al_ilqr_solve_batched_fused(
             reg=reg, interpret=interpret, luu_diags=luu_pen,
         )
 
-        def try_alpha(alpha):
-            us_a, xs_a = jax.vmap(
-                lambda x0, xs_n, us_n, k_n, K_n: _forward_pass(
-                    f, x0, xs_n, us_n, k_n, K_n, alpha
-                )
-            )(x0s, xs, us, ks, Ks)
-            return aug_cost(xs_a, us_a, lam_hi, lam_lo, mu), us_a, xs_a
+        if forward == "pallas":
+            from numpower_tpu.kernels.ilqr_forward import (
+                ilqr_forward_pallas,
+            )
 
-        costs_a, us_all, xs_all = jax.vmap(try_alpha)(alphas_arr)  # (A, N, ...)
+            A_n = alphas_arr.shape[0]
+            n = x0s.shape[1]
+            us_l, xs_l, costs_q = ilqr_forward_pallas(
+                f, Q, R, QF, x_goal, alphas_arr, x0s,
+                xs[:, :T].transpose(1, 2, 0),
+                us.transpose(1, 2, 0),
+                ks.transpose(1, 2, 0),
+                Ks.transpose(1, 2, 3, 0).reshape(T, m * n, N),
+                n_alphas=A_n, interpret=interpret)
+            us_all = us_l.transpose(0, 3, 1, 2)     # (A, N, T, m)
+            xs_all = xs_l.transpose(0, 3, 1, 2)     # (A, N, T+1, n)
+            pen_a = jax.vmap(
+                lambda u: al_terms_b(u, lam_hi, lam_lo, mu)[0])(us_all)
+            costs_a = costs_q + pen_a
+        else:
+            def try_alpha(alpha):
+                us_a, xs_a = jax.vmap(
+                    lambda x0, xs_n, us_n, k_n, K_n: _forward_pass(
+                        f, x0, xs_n, us_n, k_n, K_n, alpha
+                    )
+                )(x0s, xs, us, ks, Ks)
+                return aug_cost(xs_a, us_a, lam_hi, lam_lo, mu), us_a, xs_a
+
+            costs_a, us_all, xs_all = jax.vmap(try_alpha)(alphas_arr)  # (A, N, ...)
         best = jnp.argmin(costs_a, axis=0)  # (N,)
         pick = lambda arr: jnp.take_along_axis(
             arr, best[None, :].reshape((1, N) + (1,) * (arr.ndim - 2)), axis=0

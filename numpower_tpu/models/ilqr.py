@@ -203,8 +203,15 @@ def _ilqr_solve_batched_fused(
     f, x0s, Q, R, QF, x_goal, horizon: int, iters: int = 20, reg: float = 1e-3,
     use_fd: bool = False, fd_eps: float = 1e-4, us_init=None,
     alphas: Tuple[float, ...] = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01),
-    interpret: bool = False,
+    interpret: bool = False, forward: str = "pallas",
 ) -> ILQRResult:
+    """forward="pallas" (default) rolls out ALL line-search alphas for
+    all scenarios in one whole-T kernel (kernels/ilqr_forward.py) — the
+    measured cost driver at the config-#3b shape (the 6-alpha forward
+    scan was 105% of the per-iteration time, scripts/ilqr_breakdown.py);
+    "xla" restores the vmapped scan. Requires a component-indexing plant
+    (models/plants.py house style — same contract as the MPPI/EKF
+    kernels) and assumes symmetric Q/QF."""
     from numpower_tpu.kernels.ilqr_backward import ilqr_backward_fused
 
     N = x0s.shape[0]
@@ -234,15 +241,32 @@ def _ilqr_solve_batched_fused(
             reg=reg, interpret=interpret,
         )
 
-        def try_alpha(alpha):
-            us_a, xs_a = jax.vmap(
-                lambda x0, xs_n, us_n, k_n, K_n: _forward_pass(
-                    f, x0, xs_n, us_n, k_n, K_n, alpha
-                )
-            )(x0s, xs, us, ks, Ks)
-            return cost_fn(xs_a, us_a), us_a, xs_a
+        if forward == "pallas":
+            from numpower_tpu.kernels.ilqr_forward import (
+                ilqr_forward_pallas,
+            )
 
-        costs_a, us_all, xs_all = jax.vmap(try_alpha)(alphas_arr)  # (A, N, ...)
+            A_n = alphas_arr.shape[0]
+            n = x0s.shape[1]
+            us_l, xs_l, costs_a = ilqr_forward_pallas(
+                f, Q, R, QF, x_goal, alphas_arr, x0s,
+                xs[:, :T].transpose(1, 2, 0),
+                us.transpose(1, 2, 0),
+                ks.transpose(1, 2, 0),
+                Ks.transpose(1, 2, 3, 0).reshape(T, m * n, N),
+                n_alphas=A_n, interpret=interpret)
+            us_all = us_l.transpose(0, 3, 1, 2)     # (A, N, T, m)
+            xs_all = xs_l.transpose(0, 3, 1, 2)     # (A, N, T+1, n)
+        else:
+            def try_alpha(alpha):
+                us_a, xs_a = jax.vmap(
+                    lambda x0, xs_n, us_n, k_n, K_n: _forward_pass(
+                        f, x0, xs_n, us_n, k_n, K_n, alpha
+                    )
+                )(x0s, xs, us, ks, Ks)
+                return cost_fn(xs_a, us_a), us_a, xs_a
+
+            costs_a, us_all, xs_all = jax.vmap(try_alpha)(alphas_arr)  # (A, N, ...)
         best = jnp.argmin(costs_a, axis=0)  # (N,)
         pick = lambda arr: jnp.take_along_axis(
             arr, best[None, :].reshape((1, N) + (1,) * (arr.ndim - 2)), axis=0

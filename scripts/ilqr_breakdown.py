@@ -96,32 +96,43 @@ def main():
 
         return jax.vmap(try_alpha)(alphas_arr)[0, 0]
 
-    def full_body(x0s_, i):
-        r = ilqr_solve_batched(cartpole_step, x0s_ + i * 1e-6, Q, R, QF,
-                               x_goal, T, backend="vmap" if interp
-                               else "fused", iters=iters)
-        return r.cost[0]
+    def full_body(fwd):
+        def body(x0s_, i):
+            r = ilqr_solve_batched(cartpole_step, x0s_ + i * 1e-6, Q, R,
+                                   QF, x_goal, T,
+                                   backend="vmap" if interp else "fused",
+                                   iters=iters,
+                                   **({} if interp else
+                                      {"forward": fwd}))
+            return r.cost[0]
+        return body
 
     Kw = 2 if args.quick else 16
     results = {}
     for _ in range(3):
-        results.setdefault("full", []).append(_device_time_per_call(
-            full_body, (x0s,), K=max(2, Kw // 4), reps=reps))
+        results.setdefault("full-fwd-xla", []).append(
+            _device_time_per_call(full_body("xla"), (x0s,),
+                                  K=max(2, Kw // 4), reps=reps))
+        results.setdefault("full-fwd-pallas", []).append(
+            _device_time_per_call(full_body("pallas"), (x0s,),
+                                  K=Kw, reps=reps))
         results.setdefault("linearize", []).append(_device_time_per_call(
             lin_body, (xs0, us0), K=Kw * 4, reps=reps))
         results.setdefault("backward", []).append(_device_time_per_call(
             bwd_body, (xs0, us0), K=Kw * 2, reps=reps))
         results.setdefault("forward6a", []).append(_device_time_per_call(
             fwd_body, (xs0, us0), K=Kw * 2, reps=reps))
-    tf = float(np.median(results["full"]))
-    for name in ("full", "linearize", "backward", "forward6a"):
+    tf = float(np.median(results["full-fwd-xla"]))
+    for name in ("full-fwd-xla", "full-fwd-pallas", "linearize",
+                 "backward", "forward6a"):
         t = float(np.median(results[name]))
-        per_it = "" if name == "full" else (
-            f"  ({100 * t * iters / tf:.0f}% of full over {iters} iters)")
-        _log(f"[ilqr] {name:10s}: {t*1e3:8.3f} ms{per_it}")
-    _log(f"[ilqr] full/iter: {tf/iters*1e3:.3f} ms vs phase sum "
-         f"{(float(np.median(results['linearize'])) + float(np.median(results['backward'])) + float(np.median(results['forward6a'])))*1e3:.3f} ms "
-         f"(backward body includes linearize)")
+        per_it = "" if name.startswith("full") else (
+            f"  ({100 * t * iters / tf:.0f}% of full-fwd-xla over "
+            f"{iters} iters)")
+        _log(f"[ilqr] {name:15s}: {t*1e3:8.3f} ms{per_it}")
+    tp = float(np.median(results["full-fwd-pallas"]))
+    _log(f"[ilqr] fused-forward speedup on the full solve: {tf/tp:.2f}x "
+         f"({N/tp:,.0f} solves/s)")
 
 
 if __name__ == "__main__":
