@@ -176,6 +176,7 @@ def al_ilqr_solve_batched(f, x0s, *args, backend: str = "vmap",
     may differ in marginal scenarios (see models/ilqr.ilqr_solve_batched).
     """
     if backend == "vmap":
+        kwargs.pop("forward", None)  # fused-backend-only knob
         return jax.vmap(lambda x0: al_ilqr_solve(f, x0, *args, **kwargs))(x0s)
     return _al_ilqr_solve_batched_fused(f, x0s, *args, **kwargs)
 

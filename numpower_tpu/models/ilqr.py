@@ -192,6 +192,7 @@ def ilqr_solve_batched(f, x0s, Q, R, QF, x_goal, horizon, backend: str = "vmap",
     landscapes; both monotonically descend the cost.
     """
     if backend == "vmap":
+        kwargs.pop("forward", None)  # fused-backend-only knob
         kwargs.setdefault("unroll_scans", False)
         return jax.vmap(
             lambda x0: ilqr_solve(f, x0, Q, R, QF, x_goal, horizon, **kwargs)
