@@ -50,8 +50,8 @@ def _kf_mean_kernel(A_ref, C_ref, W_ref, iL_ref, cst_ref, x0_ref, ys_ref,
     """One grid step = one batch tile. The T-loop is a Python unroll (T is
     static); every step is a handful of (N,)-lane VPU ops with SMEM scalar
     gain broadcasts. State x lives in registers (a Python list of rows)."""
-    x = [x0_ref[j, :] for j in range(n)]
-    ll = jnp.zeros_like(ll_ref[0, :])
+    x = [x0_ref[j] for j in range(n)]
+    ll = jnp.zeros_like(x[0])
     for t in range(T):
         # predict: x_p = A x + u_t
         xp = []
@@ -60,12 +60,12 @@ def _kf_mean_kernel(A_ref, C_ref, W_ref, iL_ref, cst_ref, x0_ref, ys_ref,
             for i in range(1, n):
                 acc = acc + A_ref[j, i] * x[i]
             if has_u:
-                acc = acc + us_ref[t * n + j, :]
+                acc = acc + us_ref[t * n + j]
             xp.append(acc)
         # innovation v = y_t - C x_p
         v = []
         for c in range(p):
-            acc = ys_ref[t * p + c, :]
+            acc = ys_ref[t * p + c]
             for j in range(n):
                 acc = acc - C_ref[c, j] * xp[j]
             v.append(acc)
@@ -75,8 +75,8 @@ def _kf_mean_kernel(A_ref, C_ref, W_ref, iL_ref, cst_ref, x0_ref, ys_ref,
             for c in range(p):
                 acc = acc + W_ref[t, c * n + j] * v[c]
             x[j] = acc
-            xf_ref[t * n + j, :] = acc
-            xp_ref[t * n + j, :] = xp[j]
+            xf_ref[t * n + j] = acc
+            xp_ref[t * n + j] = xp[j]
         # whitened innovation log-density: alpha = invL_t v
         sq = None
         for c in range(p):
@@ -85,7 +85,7 @@ def _kf_mean_kernel(A_ref, C_ref, W_ref, iL_ref, cst_ref, x0_ref, ys_ref,
                 acc = acc + iL_ref[t, c * p + e] * v[e]
             sq = acc * acc if sq is None else sq + acc * acc
         ll = ll - 0.5 * sq - cst_ref[t, 0]
-    ll_ref[0, :] = ll
+    ll_ref[0] = ll
 
 
 @functools.partial(jax.jit,
@@ -105,31 +105,38 @@ def kalman_mean_pass_pallas(A, C, Ws, invLs, logdets, x0s, ys_t,
     dt = x0s.dtype
     has_u = us_t is not None
 
-    tile_b = min(tile_b, _round_up(N, 128))
+    # batch on sublanes AND lanes (r5): every row value is an
+    # (8, tile_b/8) tile, so the per-step VPU FMAs run at full sublane
+    # occupancy (the (1, lanes) layout left 7/8 of the VPU idle)
+    SUB = 8
+    tile_b = min(_round_up(tile_b, SUB * 128), _round_up(N, SUB * 128))
     N_pad = _round_up(N, tile_b)
+    tile_l = tile_b // SUB
+    lanes = N_pad // SUB
 
     # per-step constant of the innovation log-density
     c0 = jnp.asarray(p * jnp.log(2.0 * jnp.pi), dt)
     cst = (logdets + 0.5 * c0).reshape(T, 1)
 
-    x0c = x0s.T                                        # (n, N)
-    ysc = ys_t.transpose(0, 2, 1).reshape(T * p, N)    # (T*p, N)
-    usc = (us_t.transpose(0, 2, 1).reshape(T * n, N)
-           if has_u else jnp.zeros((1, N), dt))
-    if N_pad != N:
-        pad = N_pad - N
-        x0c = jnp.concatenate([x0c, jnp.zeros((n, pad), dt)], axis=1)
-        ysc = jnp.concatenate([ysc, jnp.zeros((T * p, pad), dt)], axis=1)
-        usc = jnp.concatenate(
-            [usc, jnp.zeros((usc.shape[0], pad), dt)], axis=1)
+    def pack(a):                                       # (rows, N) -> 3D
+        if N_pad != N:
+            a = jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (N_pad - N,), dt)], axis=-1)
+        return a.reshape(a.shape[0], SUB, lanes)
+
+    x0c = pack(x0s.T)                                  # (n, 8, lanes)
+    ysc = pack(ys_t.transpose(0, 2, 1).reshape(T * p, N))
+    usc = pack(us_t.transpose(0, 2, 1).reshape(T * n, N)
+               if has_u else jnp.zeros((1, N), dt))
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.SMEM)
-    vmem = lambda rows: pl.BlockSpec((rows, tile_b), lambda i: (0, i),
+    vmem = lambda rows: pl.BlockSpec((rows, SUB, tile_l),
+                                     lambda i: (0, 0, i),
                                      memory_space=pltpu.VMEM)
     xf, xp, ll = pl.pallas_call(
         functools.partial(_kf_mean_kernel, n=n, p=p, T=T, has_u=has_u),
-        grid=(N_pad // tile_b,),
+        grid=(lanes // tile_l,),
         in_specs=[
             smem((n, n)), smem((p, n)), smem((T, p * n)),
             smem((T, p * p)), smem((T, 1)),
@@ -137,13 +144,15 @@ def kalman_mean_pass_pallas(A, C, Ws, invLs, logdets, x0s, ys_t,
         ],
         out_specs=(vmem(T * n), vmem(T * n), vmem(1)),
         out_shape=(
-            jax.ShapeDtypeStruct((T * n, N_pad), dt),
-            jax.ShapeDtypeStruct((T * n, N_pad), dt),
-            jax.ShapeDtypeStruct((1, N_pad), dt),
+            jax.ShapeDtypeStruct((T * n, SUB, lanes), dt),
+            jax.ShapeDtypeStruct((T * n, SUB, lanes), dt),
+            jax.ShapeDtypeStruct((1, SUB, lanes), dt),
         ),
         interpret=interpret,
     )(A, C, Ws.reshape(T, p * n), invLs.reshape(T, p * p), cst,
       x0c, ysc, usc)
-    xs_f = xf[:, :N].reshape(T, n, N).transpose(0, 2, 1)
-    xs_p = xp[:, :N].reshape(T, n, N).transpose(0, 2, 1)
-    return xs_f, xs_p, ll[0, :N]
+    xf = xf.reshape(T * n, N_pad)[:, :N]
+    xp = xp.reshape(T * n, N_pad)[:, :N]
+    xs_f = xf.reshape(T, n, N).transpose(0, 2, 1)
+    xs_p = xp.reshape(T, n, N).transpose(0, 2, 1)
+    return xs_f, xs_p, ll.reshape(N_pad)[:N]

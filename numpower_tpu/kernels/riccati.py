@@ -94,17 +94,21 @@ def _chol_solve_rows(s_rows, rhs_cm, n: int, r: int):
 
 def _riccati_kernel(a_cm_ref, b_cm_ref, qf_ref, q_ref, r_ref,
                     ks_ref, p0_ref, *, n: int, m: int, T: int):
-    """One grid step = one scenario tile. Outputs: ks_ref rows t*m*n + a*n+b
+    """One grid step = one scenario tile. Every matrix-element "row" is an
+    (8, tile_l) tile — the batch rides sublanes AND lanes, so each VPU op
+    moves 8x128-multiple scenarios at full occupancy (the original
+    (1, lanes) rows measured 5% of the VPU roofline: 1/8 sublane
+    utilization was exactly the gap). Outputs: ks_ref rows t*m*n + a*n+b
     = K_t[a, b] (time-REVERSED: index 0 is the last stage computed, i.e.
     t=0); p0_ref = final cost-to-go P_0."""
-    a_cm = [a_cm_ref[i, :] for i in range(n * n)]
-    b_cm = [b_cm_ref[i, :] for i in range(n * m)]
+    a_cm = [a_cm_ref[i] for i in range(n * n)]
+    b_cm = [b_cm_ref[i] for i in range(n * m)]
     # SMEM permits only scalar loads — read Q/R entry-wise at trace time
     q_s = [q_ref[i] for i in range(n * n)]
     r_s = [r_ref[i] for i in range(m * m)]
 
     def body(t, p_flat):
-        p_rows = [p_flat[i, :] for i in range(n * n)]  # symmetric: rm == cm
+        p_rows = [p_flat[i] for i in range(n * n)]  # symmetric: rm == cm
         # PB (n,m) in cm; PA (n,n) in cm
         pb_cm = _mm(p_rows, b_cm, n, n, m, out_cm=True)
         pa_cm = _mm(p_rows, a_cm, n, n, n, out_cm=True)
@@ -153,7 +157,7 @@ def _riccati_kernel(a_cm_ref, b_cm_ref, qf_ref, q_ref, r_ref,
         k_rm = jnp.stack(
             [k_cm[b * m + a] for a in range(m) for b in range(n)], axis=0
         )
-        ks_ref[pl.ds(t * m * n, m * n), :] = k_rm
+        ks_ref[pl.ds(t * m * n, m * n)] = k_rm
         return jnp.stack(p_new, axis=0)
 
     p_final = lax.fori_loop(0, T, body, qf_ref[:])
@@ -161,34 +165,42 @@ def _riccati_kernel(a_cm_ref, b_cm_ref, qf_ref, q_ref, r_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("horizon", "tile_b", "interpret"))
-def riccati_batched_fused(As, Bs, Q, R, QF, horizon: int, tile_b: int = 512,
+def riccati_batched_fused(As, Bs, Q, R, QF, horizon: int, tile_b: int = 4096,
                           interpret: bool = False):
     """Fused per-scenario Riccati: As (N,n,n), Bs (N,n,m), shared Q/R/QF.
 
     Returns (Ks (N,T,m,n), P0 (N,n,n)) matching
     models.lqr.riccati_scan_per_scenario to fp32 tolerance.
+
+    tile_b scenarios per grid step, laid out (8, tile_b/8) so every VPU
+    op runs at full sublane occupancy (r5 — the (1, lanes) layout ran at
+    1/8 occupancy and 5% of the VPU roofline; tile_b is rounded up to a
+    multiple of 1024).
     """
     N, n, _ = As.shape
     m = Bs.shape[-1]
     T = horizon
-    tile_b = min(tile_b, _round_up(N, 128))
+    SUB = 8
+    tile_b = min(_round_up(tile_b, SUB * 128), _round_up(N, SUB * 128))
     n_pad = _round_up(N, tile_b)
+    tile_l = tile_b // SUB
+    lanes = n_pad // SUB
 
-    def rm(x):  # (N,p,q) -> (p*q, n_pad) row-major rows
-        out = x.transpose(1, 2, 0).reshape(-1, N)
-        return jnp.pad(out, ((0, 0), (0, n_pad - N)), constant_values=1.0)
+    def pack(out):  # (rows, N) -> (rows, 8, n_pad/8)
+        out = jnp.pad(out, ((0, 0), (0, n_pad - N)), constant_values=1.0)
+        return out.reshape(out.shape[0], SUB, lanes)
 
-    def cm(x):  # column-major rows
-        out = x.transpose(2, 1, 0).reshape(-1, N)
-        return jnp.pad(out, ((0, 0), (0, n_pad - N)), constant_values=1.0)
+    rm = lambda x: pack(x.transpose(1, 2, 0).reshape(-1, N))
+    cm = lambda x: pack(x.transpose(2, 1, 0).reshape(-1, N))
 
     a_cm, b_cm = cm(As), cm(Bs)
     qf_rm = rm(jnp.broadcast_to(QF, (N, n, n)))
     q_s = jnp.asarray(Q, jnp.float32).reshape(-1)
     r_s = jnp.asarray(R, jnp.float32).reshape(-1)
 
-    grid = (n_pad // tile_b,)
-    row_spec = lambda rows: pl.BlockSpec((rows, tile_b), lambda i: (0, i),
+    grid = (lanes // tile_l,)
+    row_spec = lambda rows: pl.BlockSpec((rows, SUB, tile_l),
+                                         lambda i: (0, 0, i),
                                          memory_space=pltpu.VMEM)
     ks, p0 = pl.pallas_call(
         functools.partial(_riccati_kernel, n=n, m=m, T=T),
@@ -200,15 +212,17 @@ def riccati_batched_fused(As, Bs, Q, R, QF, horizon: int, tile_b: int = 512,
         ],
         out_specs=(row_spec(T * m * n), row_spec(n * n)),
         out_shape=(
-            jax.ShapeDtypeStruct((T * m * n, n_pad), As.dtype),
-            jax.ShapeDtypeStruct((n * n, n_pad), As.dtype),
+            jax.ShapeDtypeStruct((T * m * n, SUB, lanes), As.dtype),
+            jax.ShapeDtypeStruct((n * n, SUB, lanes), As.dtype),
         ),
         interpret=interpret,
     )(a_cm, b_cm, qf_rm, q_s, r_s)
 
     # kernel writes stage index t counting BACKWARD from the terminal: the
     # fori_loop's t-th iteration computes gains for stage T-1-t
-    Ks = ks[:, :N].reshape(T, m, n, N).transpose(3, 0, 1, 2)
+    ks = ks.reshape(T * m * n, n_pad)[:, :N]
+    p0 = p0.reshape(n * n, n_pad)[:, :N]
+    Ks = ks.reshape(T, m, n, N).transpose(3, 0, 1, 2)
     Ks = jnp.flip(Ks, axis=1)
-    P0 = p0[:, :N].reshape(n, n, N).transpose(2, 0, 1)
+    P0 = p0.reshape(n, n, N).transpose(2, 0, 1)
     return Ks, P0

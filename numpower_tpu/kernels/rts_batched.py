@@ -46,20 +46,20 @@ def _rts_mean_kernel(G_ref, xlast_ref, e_ref, xs_ref, *, n: int, T: int):
     unroll (T static); every step is n^2 (N,)-lane FMAs with SMEM scalar
     gain broadcasts. The running smoothed state lives in registers (a
     Python list of rows)."""
-    x = [xlast_ref[j, :] for j in range(n)]
+    x = [xlast_ref[j] for j in range(n)]
     for j in range(n):
-        xs_ref[(T - 1) * n + j, :] = x[j]
+        xs_ref[(T - 1) * n + j] = x[j]
     for t in range(T - 2, -1, -1):
         # x_s[t] = x_s[t+1] @ G_t' + e_t ; G_ref[t, i*n+k] = G_t'[i, k]
         xn = []
         for k in range(n):
-            acc = e_ref[t * n + k, :]
+            acc = e_ref[t * n + k]
             for i in range(n):
                 acc = acc + G_ref[t, i * n + k] * x[i]
             xn.append(acc)
         x = xn
         for j in range(n):
-            xs_ref[t * n + j, :] = x[j]
+            xs_ref[t * n + j] = x[j]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
@@ -76,26 +76,35 @@ def rts_mean_pass_pallas(G_Ts, es_t, x_last, tile_b: int = 2048,
     T = Tm1 + 1
     dt = x_last.dtype
 
-    tile_b = min(tile_b, _round_up(N, 128))
+    # batch on sublanes AND lanes (r5, same as kernels/kalman_batched.py):
+    # (8, tile_b/8) tiles keep the VPU at full sublane occupancy
+    SUB = 8
+    tile_b = min(_round_up(tile_b, SUB * 128), _round_up(N, SUB * 128))
     N_pad = _round_up(N, tile_b)
+    tile_l = tile_b // SUB
+    lanes = N_pad // SUB
 
-    xlc = x_last.T                                     # (n, N)
-    esc = es_t.transpose(0, 2, 1).reshape(Tm1 * n, N)  # ((T-1)*n, N)
-    if N_pad != N:
-        pad = N_pad - N
-        xlc = jnp.concatenate([xlc, jnp.zeros((n, pad), dt)], axis=1)
-        esc = jnp.concatenate([esc, jnp.zeros((Tm1 * n, pad), dt)], axis=1)
+    def pack(a):
+        if N_pad != N:
+            a = jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (N_pad - N,), dt)], axis=-1)
+        return a.reshape(a.shape[0], SUB, lanes)
+
+    xlc = pack(x_last.T)                               # (n, 8, lanes)
+    esc = pack(es_t.transpose(0, 2, 1).reshape(Tm1 * n, N))
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.SMEM)
-    vmem = lambda rows: pl.BlockSpec((rows, tile_b), lambda i: (0, i),
+    vmem = lambda rows: pl.BlockSpec((rows, SUB, tile_l),
+                                     lambda i: (0, 0, i),
                                      memory_space=pltpu.VMEM)
     xs = pl.pallas_call(
         functools.partial(_rts_mean_kernel, n=n, T=T),
-        grid=(N_pad // tile_b,),
+        grid=(lanes // tile_l,),
         in_specs=[smem((Tm1, n * n)), vmem(n), vmem(Tm1 * n)],
         out_specs=vmem(T * n),
-        out_shape=jax.ShapeDtypeStruct((T * n, N_pad), dt),
+        out_shape=jax.ShapeDtypeStruct((T * n, SUB, lanes), dt),
         interpret=interpret,
     )(G_Ts.reshape(Tm1, n * n), xlc, esc)
-    return xs[:, :N].reshape(T, n, N).transpose(0, 2, 1)
+    xs = xs.reshape(T * n, N_pad)[:, :N]
+    return xs.reshape(T, n, N).transpose(0, 2, 1)

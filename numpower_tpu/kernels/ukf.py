@@ -69,7 +69,6 @@ def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
                 wm, wc, c_sig: float, jitter: float):
     """One grid step = one batch tile. wm/wc are PYTHON float tuples
     (trace-time constants); c_sig = n + lambda scales the sigma spread."""
-    B = x0_ref.shape[1]
     K = 2 * n + 1
 
     def sigma_list(x_rows, P_rows):
@@ -104,7 +103,7 @@ def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
         x_rows = [X[j] for j in range(n)]
         P_rows = [[Pv[i * n + j] for j in range(n)] for i in range(n)]
 
-        u_step = u_ref[t]                              # (m, B)
+        u_step = u_ref[t]                              # (m, 8, tile)
         u_rows = [u_step[a] for a in range(m)]
 
         # predict: propagate every sigma point through f (inlined traces)
@@ -168,7 +167,7 @@ def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
                 W[a][j] = acc / L[a][a]
         # Kg[j][a] = W[a][j] (K_gain = Pxy S^-1, (n, p))
 
-        y_step = y_ref[t]                              # (p, B)
+        y_step = y_ref[t]                              # (p, 8, tile)
         v = [y_step[c] - y_p[c] for c in range(p)]
         x_f = []
         for j in range(n):
@@ -222,11 +221,11 @@ def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
         return X_new, Pv_new, ll
 
     X0 = x0_ref[:]
-    Pv0 = jnp.stack([jnp.full((B,), P0_ref[i, j], X0.dtype)
+    Pv0 = jnp.stack([jnp.full(X0.shape[1:], P0_ref[i, j], X0.dtype)
                      for i in range(n) for j in range(n)])
-    ll0 = jnp.zeros((B,), X0.dtype)
+    ll0 = jnp.zeros(X0.shape[1:], X0.dtype)
     _, _, ll = lax.fori_loop(0, T, body, (X0, Pv0, ll0))
-    ll_ref[0, :] = ll
+    ll_ref[0] = ll
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -251,50 +250,60 @@ def ukf_pallas(f, h, Q, R, x0s, P0, yss, uss, alpha: float = 1.0,
     wc = tuple([lam / c_sig + (1.0 - alpha * alpha + beta)]
                + [0.5 / c_sig] * (2 * n))
 
-    tile_b = min(tile_b, _round_up(B, 128))
+    # batch on sublanes AND lanes (r5): every row value is an
+    # (8, tile_b/8) tile — full sublane occupancy (the (1, lanes) layout
+    # measured 6% of roofline: 7/8 of the VPU idle). Time stays the MAJOR
+    # axis: dynamic t-indexing then addresses whole tiles — dynamic
+    # SUBLANE offsets (a (T*p, B) layout with pl.ds(t*p, p)) crash
+    # Mosaic's layout inference (layout.h offsets check, observed v5e)
+    SUB = 8
+    tile_b = min(_round_up(tile_b, SUB * 128), _round_up(B, SUB * 128))
     B_pad = _round_up(B, tile_b)
-    # time as the MAJOR axis: dynamic t-indexing then addresses whole
-    # (rows, lanes) tiles — dynamic SUBLANE offsets (a (T*p, B) layout
-    # with pl.ds(t*p, p)) crash Mosaic's layout inference
-    # (layout.h Check failed: offsets_[0] < tiling_[0], observed v5e)
-    x0c = x0s.T                                        # (n, B)
-    ysc = yss.transpose(1, 2, 0)                       # (T, p, B)
-    usc = uss.transpose(1, 2, 0)                       # (T, m, B)
-    if B_pad != B:
-        pad = B_pad - B
-        x0c = jnp.concatenate([x0c, jnp.zeros((n, pad), dt)], axis=1)
-        ysc = jnp.concatenate(
-            [ysc, jnp.zeros((T, p, pad), dt)], axis=2)
-        usc = jnp.concatenate(
-            [usc, jnp.zeros((T, m, pad), dt)], axis=2)
+    tile_l = tile_b // SUB
+    lanes = B_pad // SUB
+
+    def pack(a):                       # (..., B) -> (..., 8, lanes)
+        if B_pad != B:
+            a = jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (B_pad - B,), dt)], axis=-1)
+        return a.reshape(a.shape[:-1] + (SUB, lanes))
+
+    x0c = pack(x0s.T)                                  # (n, 8, lanes)
+    ysc = pack(yss.transpose(1, 2, 0))                 # (T, p, 8, lanes)
+    usc = pack(uss.transpose(1, 2, 0))                 # (T, m, 8, lanes)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.SMEM)
-    vmem = lambda rows: pl.BlockSpec((rows, tile_b), lambda i: (0, i),
+    vmem = lambda rows: pl.BlockSpec((rows, SUB, tile_l),
+                                     lambda i: (0, 0, i),
                                      memory_space=pltpu.VMEM)
-    vmem_t = lambda rows: pl.BlockSpec((T, rows, tile_b),
-                                       lambda i: (0, 0, i),
+    vmem_t = lambda rows: pl.BlockSpec((T, rows, SUB, tile_l),
+                                       lambda i: (0, 0, 0, i),
                                        memory_space=pltpu.VMEM)
     xf, xp, Pf, Pp, ll = pl.pallas_call(
         functools.partial(_ukf_kernel, f=f, h=h, n=n, p=p, m=m, T=T,
                           wm=wm, wc=wc, c_sig=float(c_sig), jitter=1e-9),
-        grid=(B_pad // tile_b,),
+        grid=(lanes // tile_l,),
         in_specs=[smem((n, n)), smem((p, p)), smem((n, n)),
                   vmem(n), vmem_t(p), vmem_t(m)],
         out_specs=(vmem_t(n), vmem_t(n), vmem_t(n * n),
                    vmem_t(n * n), vmem(1)),
         out_shape=(
-            jax.ShapeDtypeStruct((T, n, B_pad), dt),
-            jax.ShapeDtypeStruct((T, n, B_pad), dt),
-            jax.ShapeDtypeStruct((T, n * n, B_pad), dt),
-            jax.ShapeDtypeStruct((T, n * n, B_pad), dt),
-            jax.ShapeDtypeStruct((1, B_pad), dt),
+            jax.ShapeDtypeStruct((T, n, SUB, lanes), dt),
+            jax.ShapeDtypeStruct((T, n, SUB, lanes), dt),
+            jax.ShapeDtypeStruct((T, n * n, SUB, lanes), dt),
+            jax.ShapeDtypeStruct((T, n * n, SUB, lanes), dt),
+            jax.ShapeDtypeStruct((1, SUB, lanes), dt),
         ),
         interpret=interpret,
     )(Q, R, P0, x0c, ysc, usc)
 
-    xs_f = xf[:, :, :B].transpose(2, 0, 1)
-    xs_p = xp[:, :, :B].transpose(2, 0, 1)
-    Ps_f = Pf[:, :, :B].transpose(2, 0, 1).reshape(B, T, n, n)
-    Ps_p = Pp[:, :, :B].transpose(2, 0, 1).reshape(B, T, n, n)
-    return xs_f, Ps_f, xs_p, Ps_p, ll[0, :B]
+    xf = xf.reshape(T, n, B_pad)[:, :, :B]
+    xp = xp.reshape(T, n, B_pad)[:, :, :B]
+    Pf = Pf.reshape(T, n * n, B_pad)[:, :, :B]
+    Pp = Pp.reshape(T, n * n, B_pad)[:, :, :B]
+    xs_f = xf.transpose(2, 0, 1)
+    xs_p = xp.transpose(2, 0, 1)
+    Ps_f = Pf.transpose(2, 0, 1).reshape(B, T, n, n)
+    Ps_p = Pp.transpose(2, 0, 1).reshape(B, T, n, n)
+    return xs_f, Ps_f, xs_p, Ps_p, ll.reshape(B_pad)[:B]
