@@ -132,7 +132,7 @@ PLAUSIBILITY_BANDS = {
     "latency_256batch_us": (0.3, 20.0),
     "config1_lqr_us": (15.0, 500.0),
     "config2_riccati_solves_per_sec": (8e5, 2e7),
-    "config2b_fused_riccati_solves_per_sec": (4e5, 1e7),
+    "config2b_fused_riccati_solves_per_sec": (4e5, 1e8),  # r5 packed: ~40M
     "riccati_assoc_ms": (1.2, 15.0),
     "riccati_assoc_speedup": (2.0, 40.0),
     "config3_ilqr_ms": (0.8, 12.0),
@@ -147,8 +147,8 @@ PLAUSIBILITY_BANDS = {
     "kalman_batched_updates_per_sec": (1e9, 4e10),
     "rts_batched_states_per_sec": (1e9, 4e10),  # bytes-SoL ~3.4e10 @4096x50
     "pf_particle_steps_per_sec": (5e7, 2e9),
-    "ukf_updates_per_sec": (2e6, 3e9),   # r5 fused kernel: ~880M
-    "ekf_updates_per_sec": (5e6, 2e10),  # r5 fused kernel: ~3.4B
+    "ukf_updates_per_sec": (2e6, 1e10),  # r5 packed kernel: ~3.7B
+    "ekf_updates_per_sec": (5e6, 2e10),  # r5 packed kernel: ~5.1B
     "kalman_assoc_ms": (0.25, 6.0),
     "kalman_assoc_speedup": (4.0, 60.0),
     "shardmap_overhead_pct": (-3.0, 60.0),
