@@ -44,20 +44,20 @@ def _ilqr_bwd_kernel(a_cm_ref, b_cm_ref, lx_ref, lu_ref, luud_ref, lxx_ref,
         # terminal boundary: Vx = lx_T (streamed in slot 0), Vxx = lxxT
         vx_scr[:] = lx_ref[0]
         vxx_scr[:] = jnp.stack(
-            [jnp.full_like(vx_scr[0, :], lxxT_ref[i]) for i in range(n * n)],
+            [jnp.full_like(vx_scr[0], lxxT_ref[i]) for i in range(n * n)],
             axis=0,
         )
 
     @pl.when(t > 0)
     def _step():
-        a_cm = [a_cm_ref[0, i, :] for i in range(n * n)]
-        b_cm = [b_cm_ref[0, i, :] for i in range(n * m)]
-        lx = [lx_ref[0, i, :] for i in range(n)]
-        lu = [lu_ref[0, i, :] for i in range(m)]
+        a_cm = [a_cm_ref[0, i] for i in range(n * n)]
+        b_cm = [b_cm_ref[0, i] for i in range(n * m)]
+        lx = [lx_ref[0, i] for i in range(n)]
+        lu = [lu_ref[0, i] for i in range(m)]
         lxx_s = [lxx_ref[i] for i in range(n * n)]
         luu_s = [luu_ref[i] for i in range(m * m)]
-        vx = [vx_scr[i, :] for i in range(n)]
-        vxx = [vxx_scr[i, :] for i in range(n * n)]  # symmetric: rm == cm
+        vx = [vx_scr[i] for i in range(n)]
+        vxx = [vxx_scr[i] for i in range(n * n)]  # symmetric: rm == cm
 
         def dotn(cols, vec, q):
             acc = cols[0] * vec[0]
@@ -97,7 +97,7 @@ def _ilqr_bwd_kernel(a_cm_ref, b_cm_ref, lx_ref, lu_ref, luud_ref, lxx_ref,
             for b in range(m):
                 v = dotn(ba, w2_cm[b * n : (b + 1) * n], n) + luu_s[a * m + b]
                 if a == b:
-                    v = v + luud_ref[0, a, :]
+                    v = v + luud_ref[0, a]
                 quu[a * m + b] = v
         # Qux = B'W (m,n) stored cm: col_k = B' col_k(W)
         qux_cm = [None] * (n * m)
@@ -112,7 +112,7 @@ def _ilqr_bwd_kernel(a_cm_ref, b_cm_ref, lx_ref, lu_ref, luud_ref, lxx_ref,
         bigk_cm = [-sol_cm[m + i] for i in range(n * m)]  # (m,n) cm blocks
         # Vx' = Qx + Qux'k : [i] = col_i(Qux).k   (note k already negated)
         for i in range(n):
-            vx_scr[i, :] = qx[i] + dotn(qux_cm[i * m : (i + 1) * m], k_sol, m)
+            vx_scr[i] = qx[i] + dotn(qux_cm[i * m : (i + 1) * m], k_sol, m)
         # Vxx' = Qxx + Qux'K : [i,j] = col_i(Qux).col_j(K)
         new_vxx = [None] * (n * n)
         for i in range(n):
@@ -122,7 +122,7 @@ def _ilqr_bwd_kernel(a_cm_ref, b_cm_ref, lx_ref, lu_ref, luud_ref, lxx_ref,
                 new_vxx[i * n + j] = v
                 new_vxx[j * n + i] = v
         for i in range(n * n):
-            vxx_scr[i, :] = new_vxx[i]
+            vxx_scr[i] = new_vxx[i]
         # outputs (rm order): ks rows a ; K rows a*n+b
         ks_ref[0] = jnp.stack(k_sol, axis=0)
         bigk_ref[0] = jnp.stack(
@@ -149,8 +149,13 @@ def ilqr_backward_fused(As, Bs, lxs, lus, lxx, luu, lxT, lxxT,
     m = Bs.shape[-1]
     if luu_diags is None:
         luu_diags = jnp.zeros((N, T, m), As.dtype)
-    tile_b = min(tile_b, _round_up(N, 128))
+    # batch on sublanes AND lanes (r5, same as kernels/riccati.py):
+    # (8, tile_b/8) tiles keep the VPU at full sublane occupancy
+    SUB = 8
+    tile_b = min(_round_up(tile_b, SUB * 128), _round_up(N, SUB * 128))
     n_pad = _round_up(N, tile_b)
+    tile_l = tile_b // SUB
+    lanes = n_pad // SUB
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, n_pad - N)), constant_values=1.0)
@@ -166,51 +171,55 @@ def ilqr_backward_fused(As, Bs, lxs, lus, lxx, luu, lxT, lxxT,
         # (N,T,p,q) -> (T+1, p*q, n_pad) column-major rows per step
         s = x.transpose(1, 3, 2, 0).reshape(T, q * p, N)
         s = jnp.concatenate([jnp.zeros((1, q * p, N), x.dtype), s], axis=0)
-        return pad(s.reshape((T + 1) * q * p, N)).reshape(T + 1, q * p, n_pad)
+        return pad(s.reshape((T + 1) * q * p, N)).reshape(
+            T + 1, q * p, SUB, lanes)
 
     a_cm = cm_stream(A_rev, n, n)
     b_cm = cm_stream(B_rev, n, m)
     lx_stream = jnp.concatenate(
         [lxT[:, None, :], lx_rev], axis=1
     ).transpose(1, 2, 0).reshape(T + 1, n, N)
-    lx_stream = pad(lx_stream.reshape((T + 1) * n, N)).reshape(T + 1, n, n_pad)
+    lx_stream = pad(lx_stream.reshape((T + 1) * n, N)).reshape(
+        T + 1, n, SUB, lanes)
     lu_stream = jnp.concatenate(
         [jnp.zeros((N, 1, m), lus.dtype), lu_rev], axis=1
     ).transpose(1, 2, 0).reshape(T + 1, m, N)
-    lu_stream = pad(lu_stream.reshape((T + 1) * m, N)).reshape(T + 1, m, n_pad)
+    lu_stream = pad(lu_stream.reshape((T + 1) * m, N)).reshape(
+        T + 1, m, SUB, lanes)
     luud_rev = jnp.flip(luu_diags, axis=1)
     luud_stream = jnp.concatenate(
         [jnp.zeros((N, 1, m), luu_diags.dtype), luud_rev], axis=1
     ).transpose(1, 2, 0).reshape(T + 1, m, N)
-    luud_stream = pad(luud_stream.reshape((T + 1) * m, N)).reshape(T + 1, m, n_pad)
+    luud_stream = pad(luud_stream.reshape((T + 1) * m, N)).reshape(
+        T + 1, m, SUB, lanes)
 
     luu_reg = jnp.asarray(luu, jnp.float32) + reg * jnp.eye(m, dtype=jnp.float32)
 
-    grid = (n_pad // tile_b, T + 1)
+    grid = (lanes // tile_l, T + 1)
     ks, bigk = pl.pallas_call(
         functools.partial(_ilqr_bwd_kernel, n=n, m=m, T=T),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n * n, tile_b), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n * m, tile_b), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, tile_b), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, tile_b), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, tile_b), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n * n, SUB, tile_l), lambda i, t: (t, 0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n * m, SUB, tile_l), lambda i, t: (t, 0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, SUB, tile_l), lambda i, t: (t, 0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, SUB, tile_l), lambda i, t: (t, 0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, SUB, tile_l), lambda i, t: (t, 0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, m, tile_b), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m * n, tile_b), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, SUB, tile_l), lambda i, t: (t, 0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m * n, SUB, tile_l), lambda i, t: (t, 0, 0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T + 1, m, n_pad), As.dtype),
-            jax.ShapeDtypeStruct((T + 1, m * n, n_pad), As.dtype),
+            jax.ShapeDtypeStruct((T + 1, m, SUB, lanes), As.dtype),
+            jax.ShapeDtypeStruct((T + 1, m * n, SUB, lanes), As.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, tile_b), jnp.float32),
-            pltpu.VMEM((n * n, tile_b), jnp.float32),
+            pltpu.VMEM((n, SUB, tile_l), jnp.float32),
+            pltpu.VMEM((n * n, SUB, tile_l), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -220,6 +229,8 @@ def ilqr_backward_fused(As, Bs, lxs, lus, lxx, luu, lxT, lxxT,
         jnp.asarray(lxxT, jnp.float32).reshape(-1),
     )
     # slot t=1.. hold stages T-1..0; drop slot 0, un-reverse, unpad
-    ks_out = ks[1:, :, :N].reshape(T, m, N).transpose(2, 0, 1)
-    bigk_out = bigk[1:, :, :N].reshape(T, m, n, N).transpose(3, 0, 1, 2)
+    ks_out = ks.reshape(T + 1, m, n_pad)[1:, :, :N].reshape(
+        T, m, N).transpose(2, 0, 1)
+    bigk_out = bigk.reshape(T + 1, m * n, n_pad)[1:, :, :N].reshape(
+        T, m, n, N).transpose(3, 0, 1, 2)
     return jnp.flip(ks_out, axis=1), jnp.flip(bigk_out, axis=1)
