@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,13 +37,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _chol_inplace(col_ref, n: int):
+def _chol_inplace(col_ref, n: int, inv_diag: bool = False):
     """Factor the column-major (n*n, B) tile in place (lower Cholesky).
-    col_ref rows j*n+i hold element (i, j)."""
+    col_ref rows j*n+i hold element (i, j). One rsqrt per pivot replaces
+    sqrt + reciprocal; with inv_diag=True the diagonal stores 1/L[j,j]
+    instead of L[j,j] so substitution passes can multiply rather than
+    divide (the fused psd-solve path)."""
     for j in range(n):
-        d = jnp.sqrt(col_ref[j * n + j, :])
-        inv = 1.0 / d
-        col_ref[j * n + j, :] = d
+        x = col_ref[j * n + j, :]
+        inv = lax.rsqrt(x)
+        col_ref[j * n + j, :] = inv if inv_diag else x * inv
         if j + 1 < n:
             col_ref[j * n + j + 1 : j * n + n, :] = (
                 col_ref[j * n + j + 1 : j * n + n, :] * inv
@@ -65,15 +69,16 @@ def _chol_kernel(a_ref, l_ref, *, n: int):
 
 
 def _psd_solve_kernel(a_ref, b_ref, x_ref, lscr, *, n: int, m: int):
-    """Solve A X = B for batched SPD A: factor into VMEM scratch, then
-    forward (L y = b) and backward (L' x = y) substitution. b/x layout:
-    rows i*m+c hold element (i, c)."""
+    """Solve A X = B for batched SPD A: factor into VMEM scratch (diagonal
+    held INVERTED, see _chol_inplace), then forward (L y = b) and backward
+    (L' x = y) substitution as pure multiplies. b/x layout: rows i*m+c
+    hold element (i, c)."""
     lscr[:] = a_ref[:]
-    _chol_inplace(lscr, n)
+    _chol_inplace(lscr, n, inv_diag=True)
     x_ref[:] = b_ref[:]
-    # forward: y[j] /= L[j,j]; y[i] -= L[i,j] y[j]  (i > j)
+    # forward: y[j] *= 1/L[j,j]; y[i] -= L[i,j] y[j]  (i > j)
     for j in range(n):
-        x_ref[j * m : j * m + m, :] = x_ref[j * m : j * m + m, :] / lscr[j * n + j, :]
+        x_ref[j * m : j * m + m, :] = x_ref[j * m : j * m + m, :] * lscr[j * n + j, :]
         for i in range(j + 1, n):
             x_ref[i * m : i * m + m, :] = (
                 x_ref[i * m : i * m + m, :]
@@ -84,7 +89,7 @@ def _psd_solve_kernel(a_ref, b_ref, x_ref, lscr, *, n: int, m: int):
         acc = x_ref[i * m : i * m + m, :]
         for k in range(i + 1, n):
             acc = acc - lscr[i * n + k, :] * x_ref[k * m : k * m + m, :]
-        x_ref[i * m : i * m + m, :] = acc / lscr[i * n + i, :]
+        x_ref[i * m : i * m + m, :] = acc * lscr[i * n + i, :]
 
 
 def _to_colmajor(a: jax.Array) -> jax.Array:

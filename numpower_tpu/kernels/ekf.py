@@ -116,22 +116,23 @@ def _ekf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
                 S[a][b_] = acc
                 S[b_][a] = acc
 
-        L = _chol_rows(S, p, 0.0)
+        L, Linv = _chol_rows(S, p, 0.0)
         # W = S^{-1} CP (p, n): forward then backward substitution
+        # (multiplies by the cached inverse diagonal — see _chol_rows)
         G = [[None] * n for _ in range(p)]
         for a in range(p):
             for j in range(n):
                 acc = CP[a][j]
                 for k in range(a):
                     acc = acc - L[a][k] * G[k][j]
-                G[a][j] = acc / L[a][a]
+                G[a][j] = acc * Linv[a]
         W = [[None] * n for _ in range(p)]
         for a in range(p - 1, -1, -1):
             for j in range(n):
                 acc = G[a][j]
                 for k in range(a + 1, p):
                     acc = acc - L[k][a] * W[k][j]
-                W[a][j] = acc / L[a][a]
+                W[a][j] = acc * Linv[a]
 
         y_step = y_ref[t]
         v = [y_step[c] - y_hat[c] for c in range(p)]
@@ -155,7 +156,7 @@ def _ekf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
             acc = v[a]
             for k in range(a):
                 acc = acc - L[a][k] * alpha_w[k]
-            alpha_w[a] = acc / L[a][a]
+            alpha_w[a] = acc * Linv[a]
         sq = None
         logdet = None
         for a in range(p):

@@ -56,15 +56,19 @@ def _chol_solve_rows(s_rows, rhs_cm, n: int, r: int):
     """Solve S X = RHS for S (n,n) SPD given rm rows (n*n) and RHS (n,r) as
     cm column blocks (r*n rows). Returns X as cm column blocks (r*n rows).
     In-register Cholesky + per-column substitutions (n is tiny: 4..12)."""
-    # factor: L (lower) in a dense python list, column-major-ish access
+    # factor: L (lower) in a dense python list, column-major-ish access.
+    # One rsqrt per pivot replaces sqrt+reciprocal, and the cached inverse
+    # diagonal turns every substitution divide into a multiply — VPU
+    # divides/sqrts are the multi-cycle ops that dominate tiny-n chains.
     L = [None] * (n * n)  # L[i*n+j] = L[i][j], j <= i
+    Dinv = [None] * n     # 1 / L[j][j]
     for j in range(n):
         acc = s_rows[j * n + j]
         for k in range(j):
             acc = acc - L[j * n + k] * L[j * n + k]
-        d = jnp.sqrt(acc)
-        inv = 1.0 / d
-        L[j * n + j] = d
+        inv = lax.rsqrt(acc)
+        L[j * n + j] = acc * inv
+        Dinv[j] = inv
         for i in range(j + 1, n):
             acc = s_rows[i * n + j]
             for k in range(j):
@@ -79,14 +83,14 @@ def _chol_solve_rows(s_rows, rhs_cm, n: int, r: int):
             acc = b[i]
             for k in range(i):
                 acc = acc - L[i * n + k] * y[k]
-            y[i] = acc / L[i * n + i]
+            y[i] = acc * Dinv[i]
         # backward: L' x = y
         x = [None] * n
         for i in range(n - 1, -1, -1):
             acc = y[i]
             for k in range(i + 1, n):
                 acc = acc - L[k * n + i] * x[k]
-            x[i] = acc / L[i * n + i]
+            x[i] = acc * Dinv[i]
         for i in range(n):
             out[c * n + i] = x[i]
     return out

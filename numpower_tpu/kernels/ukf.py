@@ -46,21 +46,27 @@ def _round_up(x: int, m: int) -> int:
 
 def _chol_rows(P, n, jitter):
     """Unrolled lower Cholesky of a symmetric matrix given as an n x n
-    nested list of (B,) rows; returns the nested list L (lower)."""
+    nested list of (B,) rows; returns (L, Dinv) where Dinv[j] = 1/L[j][j].
+
+    One rsqrt per pivot (instead of sqrt + reciprocal) and the cached
+    inverse diagonal let callers substitute with multiplies — VPU
+    divide/sqrt are the multi-cycle ops that dominate these tiny-n
+    unrolled chains."""
     L = [[None] * n for _ in range(n)]
+    Dinv = [None] * n
     for j in range(n):
         acc = P[j][j] + jitter
         for k in range(j):
             acc = acc - L[j][k] * L[j][k]
-        d = jnp.sqrt(acc)
-        inv = 1.0 / d
-        L[j][j] = d
+        inv = lax.rsqrt(acc)
+        L[j][j] = acc * inv
+        Dinv[j] = inv
         for i in range(j + 1, n):
             acc = P[i][j]
             for k in range(j):
                 acc = acc - L[i][k] * L[j][k]
             L[i][j] = acc * inv
-    return L
+    return L, Dinv
 
 
 def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
@@ -73,8 +79,8 @@ def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
 
     def sigma_list(x_rows, P_rows):
         # K lists of n (B,) rows: [x, x + S cols, x - S cols]
-        S = _chol_rows([[c_sig * 0.5 * (P_rows[i][j] + P_rows[j][i])
-                         for j in range(n)] for i in range(n)], n, jitter)
+        S, _ = _chol_rows([[c_sig * 0.5 * (P_rows[i][j] + P_rows[j][i])
+                            for j in range(n)] for i in range(n)], n, jitter)
         pts = [list(x_rows)]
         for i in range(n):
             # column i of lower-triangular S: zeros above the diagonal
@@ -147,7 +153,7 @@ def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
                     acc = term if acc is None else acc + term
                 Pxy[j][c] = acc
 
-        L = _chol_rows(S, p, 0.0)
+        L, Linv = _chol_rows(S, p, 0.0)
         # K_gain = Pxy S^{-1}: solve (L L') W = Pxy' column-wise (p tiny)
         # forward: L G = Pxy'  (G (p, n) of rows)
         G = [[None] * n for _ in range(p)]
@@ -156,7 +162,7 @@ def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
                 acc = Pxy[j][a]
                 for k in range(a):
                     acc = acc - L[a][k] * G[k][j]
-                G[a][j] = acc / L[a][a]
+                G[a][j] = acc * Linv[a]
         # backward: L' W = G
         W = [[None] * n for _ in range(p)]
         for a in range(p - 1, -1, -1):
@@ -164,7 +170,7 @@ def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
                 acc = G[a][j]
                 for k in range(a + 1, p):
                     acc = acc - L[k][a] * W[k][j]
-                W[a][j] = acc / L[a][a]
+                W[a][j] = acc * Linv[a]
         # Kg[j][a] = W[a][j] (K_gain = Pxy S^-1, (n, p))
 
         y_step = y_ref[t]                              # (p, 8, tile)
@@ -199,7 +205,7 @@ def _ukf_kernel(Q_ref, R_ref, P0_ref, x0_ref, y_ref, u_ref,
             acc = v[a]
             for k in range(a):
                 acc = acc - L[a][k] * alpha_w[k]
-            alpha_w[a] = acc / L[a][a]
+            alpha_w[a] = acc * Linv[a]
         sq = None
         logdet = None
         for a in range(p):

@@ -24,6 +24,7 @@ primitives or a Pallas kernel).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = ["cholesky_unrolled", "psd_solve_unrolled", "solve_small",
            "lu_solve_unrolled", "lu_solve_nopivot", "tri_solve_unrolled"]
@@ -47,9 +48,10 @@ def cholesky_unrolled(M):
         acc = M[..., j, j]
         for k in range(j):
             acc = acc - L[j][k] * L[j][k]
-        d = jnp.sqrt(acc)
-        inv = 1.0 / d
-        L[j][j] = d
+        # one rsqrt replaces sqrt + reciprocal (both multi-cycle VPU ops;
+        # same domain: non-PD pivots still yield NaN from this column on)
+        inv = lax.rsqrt(acc)
+        L[j][j] = acc * inv
         for i in range(j + 1, n):
             acc = M[..., i, j]
             for k in range(j):
@@ -78,9 +80,8 @@ def psd_solve_unrolled(M, rhs):
         acc = M[..., j, j]
         for k in range(j):
             acc = acc - L[j][k] * L[j][k]
-        d = jnp.sqrt(acc)
-        inv = 1.0 / d
-        L[j][j] = d
+        inv = lax.rsqrt(acc)      # one rsqrt: d = acc * inv == sqrt(acc)
+        L[j][j] = acc * inv
         L[j].append(inv)  # L[j][n] caches 1/L[j][j]
         for i in range(j + 1, n):
             acc = M[..., i, j]
@@ -119,7 +120,8 @@ def tri_solve_unrolled(L, rhs, lower: bool = True):
         ks = range(i) if lower else range(i + 1, n)
         for k in ks:
             acc = acc - L[..., i, k][..., None] * x[k]
-        x[i] = acc / L[..., i, i][..., None]
+        # reciprocal once, multiply r columns (divide is the slow VPU op)
+        x[i] = acc * (1.0 / L[..., i, i])[..., None]
     out = jnp.stack(x, axis=-2)
     return out[..., 0] if vec else out
 
